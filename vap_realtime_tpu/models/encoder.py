@@ -1,0 +1,145 @@
+"""CPC waveform encoder — TPU-native functional implementation.
+
+Behavioural contract (what, not how) from the reference:
+
+- 5-layer strided conv stack 1->256->...->256 with ChannelNorm+ReLU after
+  each conv, 160x total downsample to 100 Hz
+  (reference: rvap/vap_main/encoder_components.py:73-104).
+- transpose to (B, T, C), trim the first and last frame ``z[:, 1:-1]``
+  (reference: rvap/vap_main/encoder.py:74-77).
+- 1-layer LSTM context network (the reference's ``load_CPC`` default
+  ``arMode="LSTM"``, encoder_components.py:326-329 — NOT a GRU; the 60k
+  CPC checkpoint carries (1024, 256) i/f/g/o gate weights), hidden state
+  (h, c) carried across chunks in streaming mode (``keepHidden``,
+  encoder_components.py:140-159).
+- learned downsample conv (kernel = stride = 100//frame_hz, fixed by the
+  checkpoint; reference train/encoder.py:33-34) + LayerNorm + GELU
+  (reference: encoder_components.py:496-511).
+
+Design deltas for TPU: pure functions over a params pytree; the GRU input
+projection is hoisted out of the sequential scan; chunk processing is
+batch-parallel over (streams x 2 channels) so the conv matmuls tile onto
+the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from vap_realtime_tpu.ops.basic import (
+    channel_norm, conv1d, gelu, layer_norm, lstm,
+)
+
+# (kernel, stride, padding) for the 5 CPC convs
+# (reference: encoder_components.py:83-92).
+CPC_CONV_SPECS = ((10, 5, 3), (8, 4, 2), (4, 2, 1), (4, 2, 1), (4, 2, 1))
+
+Params = Dict[str, Any]
+
+
+def init_cpc_encoder_params(rng: jax.Array, dim: int = 256,
+                            downsample_kernel: int = 5,
+                            dtype=jnp.float32) -> Params:
+    """Random init with torch-default distributions (U(+-1/sqrt(fan_in)))."""
+    keys = iter(jax.random.split(rng, 32))
+
+    def unif(key, shape, fan_in):
+        bound = 1.0 / (fan_in ** 0.5)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    p: Params = {}
+    in_ch = 1
+    for i, (k, _s, _p) in enumerate(CPC_CONV_SPECS):
+        fan = in_ch * k
+        p[f"conv{i}"] = {"w": unif(next(keys), (dim, in_ch, k), fan),
+                         "b": unif(next(keys), (dim,), fan)}
+        p[f"norm{i}"] = {"w": jnp.ones((dim, 1), dtype),
+                         "b": jnp.zeros((dim, 1), dtype)}
+        in_ch = dim
+    p["lstm"] = {
+        "w_ih": unif(next(keys), (4 * dim, dim), dim),
+        "w_hh": unif(next(keys), (4 * dim, dim), dim),
+        "b_ih": unif(next(keys), (4 * dim,), dim),
+        "b_hh": unif(next(keys), (4 * dim,), dim),
+    }
+    kd = downsample_kernel
+    p["down_conv"] = {"w": unif(next(keys), (dim, dim, kd), dim * kd),
+                      "b": unif(next(keys), (dim,), dim * kd)}
+    p["down_ln"] = {"w": jnp.ones((dim,), dtype), "b": jnp.zeros((dim,), dtype)}
+    return p
+
+
+def cpc_conv_stack(params: Params, wav: jax.Array) -> jax.Array:
+    """Strided conv stack: (B, L) waveform -> (B, N, C) features at 100 Hz.
+
+    Each chunk is zero-padded at its own edges (torch conv padding), which
+    is part of the reference's chunked-streaming numerics — chunk results
+    differ from a seamless full-sequence conv near the edges, and the
+    1:-1 trim removes exactly those frames.
+    """
+    x = wav[:, None, :]  # (B, 1, L)
+    for i, (k, s, pad) in enumerate(CPC_CONV_SPECS):
+        c, n = params[f"conv{i}"], params[f"norm{i}"]
+        x = conv1d(x, c["w"], c["b"], stride=s, padding=pad)
+        x = channel_norm(x, n["w"], n["b"])
+        x = jax.nn.relu(x)
+    return jnp.swapaxes(x, 1, 2)  # (B, N, C)
+
+
+def cpc_context(params: Params, z: jax.Array, h0: jax.Array, c0: jax.Array):
+    """LSTM context network over (B, T, C); returns (y (B,T,C), h_T, c_T)."""
+    g = params["lstm"]
+    return lstm(z, h0, c0, g["w_ih"], g["w_hh"], g["b_ih"], g["b_hh"])
+
+
+def downsample(params: Params, z: jax.Array, kernel: int) -> jax.Array:
+    """Learned downsample: conv(k=s=kernel) + LayerNorm + GELU.
+
+    z: (B, T, C) -> (B, T//kernel, C).
+    """
+    d = params["down_conv"]
+    x = jnp.swapaxes(z, 1, 2)  # (B, C, T)
+    x = conv1d(x, d["w"], d["b"], stride=kernel, padding=0)
+    x = jnp.swapaxes(x, 1, 2)  # (B, T', C)
+    ln = params["down_ln"]
+    x = layer_norm(x, ln["w"], ln["b"])
+    return gelu(x)
+
+
+def encode_chunk(params: Params, wav: jax.Array, h0: jax.Array,
+                 c0: jax.Array, downsample_kernel: int):
+    """Encode one model frame of audio into exactly ONE embedding.
+
+    wav: (B, frame_samples) where frame_samples = 16000//frame_hz + 320.
+    h0, c0: (B, C) carried LSTM state.
+
+    Returns (emb (B, C), h_new, c_new).
+
+    Pipeline = conv stack -> trim first/last frame -> LSTM -> downsample,
+    matching the reference per-chunk path (rvap/vap_main/encoder.py:58-80);
+    the chunk yields 100//frame_hz CPC frames which the downsample conv
+    (kernel=stride=100//frame_hz) collapses to a single embedding.
+    """
+    z = cpc_conv_stack(params, wav)                  # (B, n, C)
+    z = z[:, 1:-1, :]                                # edge trim (encoder.py:76)
+    y, h_new, c_new = cpc_context(params, z, h0, c0)  # (B, n-2, C)
+    e = downsample(params, y, downsample_kernel)     # (B, 1, C)
+    return e[:, 0, :], h_new, c_new
+
+
+def encode_sequence(params: Params, wav: jax.Array,
+                    downsample_kernel: int) -> jax.Array:
+    """Full-sequence (training/offline-batch) encoding.
+
+    wav: (B, L) -> (B, T_frames, C) with the train-side arithmetic
+    (reference: train/encoder.py / train/model.py): one seamless conv over
+    the whole waveform, trim, LSTM from zero state, strided downsample.
+    """
+    z = cpc_conv_stack(params, wav)
+    z = z[:, 1:-1, :]
+    zeros = jnp.zeros((wav.shape[0], z.shape[-1]), z.dtype)
+    y, _, _ = cpc_context(params, z, zeros, zeros)
+    return downsample(params, y, downsample_kernel)
