@@ -8,7 +8,12 @@ atol 1e-4 contract, SURVEY.md §7.3).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend with 8 virtual devices.  NOTE: the environment may
+# pin JAX_PLATFORMS=axon (TPU tunnel) and auto-register it via
+# sitecustomize keyed on PALLAS_AXON_POOL_IPS — override both BEFORE jax
+# is imported.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,7 +21,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# sitecustomize may have imported jax (registering the axon TPU plugin)
+# BEFORE this conftest ran, baking JAX_PLATFORMS=axon into the config —
+# override through the config API, which works until a backend is used.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the CPU backend; got " + jax.default_backend())
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

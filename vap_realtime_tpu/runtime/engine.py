@@ -1,0 +1,128 @@
+"""VapEngine — user-facing streaming engine (the `VAPRealTime` analogue).
+
+Wraps params + jitted step + carried state behind a simple `process()`
+call.  Unlike the reference's mutable-everything class
+(rvap/vap_main/vap_main.py:185-335), all state is an explicit pytree and
+the compute is one jitted dispatch; the class only does host-side
+bookkeeping (accumulating 10 ms hops into model frames is the caller's or
+server's job, as in the reference).
+
+Two serving paths:
+- "full": parity-exact full recompute per frame (reference semantics)
+- "kv":   incremental KV-cache step (exact until the context window
+          slides; see runtime/incremental.py)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vap_realtime_tpu.config import VapConfig
+from vap_realtime_tpu.runtime import incremental, streaming
+
+Params = Dict[str, Any]
+
+
+class VapEngine:
+    CALC_PROCESS_TIME_INTERVAL = 100  # telemetry cadence (vap_main.py:190)
+
+    def __init__(self, cfg: Optional[VapConfig] = None,
+                 params: Optional[Params] = None,
+                 vap_model: Optional[str] = None,
+                 cpc_model: Optional[str] = None,
+                 checkpoint_npz: Optional[str] = None,
+                 path: str = "kv", batch: int = 1,
+                 dtype=jnp.float32):
+        self.cfg = cfg or VapConfig()
+        self.batch = batch
+        self.path = path
+
+        if params is None:
+            if checkpoint_npz:
+                from vap_realtime_tpu.weights.convert import load_pytree_npz
+                params = load_pytree_npz(checkpoint_npz)
+            elif vap_model and cpc_model:
+                from vap_realtime_tpu.weights.convert import (
+                    load_torch_checkpoint,
+                )
+                params = load_torch_checkpoint(
+                    vap_model, cpc_model, self.cfg.channel_layers,
+                    self.cfg.cross_layers)
+            else:
+                raise ValueError(
+                    "provide params, checkpoint_npz, or vap_model+cpc_model")
+        self.params = jax.device_put(
+            jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params))
+
+        if path == "kv":
+            self._step = jax.jit(incremental.kv_step, static_argnums=3)
+            self.state = incremental.init_kv_state(self.cfg, batch, dtype)
+        elif path == "full":
+            self._step = jax.jit(streaming.stream_step, static_argnums=3)
+            self.state = streaming.init_stream_state(self.cfg, batch, dtype)
+        else:
+            raise ValueError(f"unknown path {path!r} (use 'kv' or 'full')")
+
+        # latest results, reference-style fields (vap_main.py:235-241)
+        self.result: Dict[str, Any] = {}
+        self.result_last_time = -1.0
+        self.process_time_abs = -1.0
+        self._proc_times: list = []
+        self._last_interval_time = time.time()
+
+    @property
+    def audio_frame_size(self) -> int:
+        return self.cfg.frame_samples
+
+    @property
+    def frame_contxt_padding(self) -> int:
+        from vap_realtime_tpu.config import FRAME_CONTEXT_PADDING
+        return FRAME_CONTEXT_PADDING
+
+    def warmup(self) -> None:
+        """Compile the step ahead of the first real frame."""
+        z = jnp.zeros((self.batch, 2, self.cfg.frame_samples), jnp.float32)
+        st, out = self._step(self.params, self.state, z, self.cfg)
+        jax.block_until_ready(out)
+
+    def process_batch(self, chunk: np.ndarray) -> Dict[str, np.ndarray]:
+        """chunk: (B, 2, frame_samples) -> dict of (B, ...) numpy results."""
+        chunk = np.asarray(chunk, np.float32)
+        if chunk.shape != (self.batch, 2, self.cfg.frame_samples):
+            raise ValueError(
+                f"expected chunk shape {(self.batch, 2, self.cfg.frame_samples)}"
+                f" (batch, channels, 16000//frame_hz + 320), got {chunk.shape}")
+        t0 = time.time()
+        self.state, out = self._step(self.params, self.state,
+                                     jnp.asarray(chunk), self.cfg)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        self.result = out
+        self.result_last_time = time.time()
+        self._telemetry(time.time() - t0)
+        self.process_time_abs = time.time()
+        return out
+
+    def process(self, x1: np.ndarray, x2: np.ndarray) -> Dict[str, Any]:
+        """Single-stream convenience (batch must be 1): the reference
+        `process_vap(x1, x2)` signature (vap_main.py:249)."""
+        assert self.batch == 1, "use process_batch for batched engines"
+        chunk = np.stack([np.asarray(x1, np.float32),
+                          np.asarray(x2, np.float32)])[None]
+        out = self.process_batch(chunk)
+        return {k: v[0] for k, v in out.items()}
+
+    def _telemetry(self, dt: float) -> None:
+        self._proc_times.append(dt)
+        if len(self._proc_times) > self.CALC_PROCESS_TIME_INTERVAL:
+            avg = float(np.mean(self._proc_times))
+            rate = len(self._proc_times) / (time.time()
+                                            - self._last_interval_time)
+            self._last_interval_time = time.time()
+            print(f"[VAP] Average processing time: {avg:.5f} [sec], "
+                  f"#process/sec: {rate:.3f}")
+            self._proc_times = []

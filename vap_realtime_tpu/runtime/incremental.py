@@ -1,0 +1,232 @@
+"""Incremental streaming step — per-frame KV-cache append, single-query
+attention, no full-context recompute.
+
+Replaces the reference's O(T^2)-per-frame recompute (the central
+inefficiency called out in SURVEY.md §3.2) with the stateless-step
+formulation the reference itself proves out for ONNX export
+(tools/vap_static.py:235-304), extended with true KV caching.
+
+Semantics vs the parity-exact `stream_step`:
+
+- While the context buffer is still growing (count <= context_frames) the
+  two paths are EXACTLY equivalent: causal attention means appending a
+  frame never changes earlier positions, and AliBi weights depend only on
+  query-key distance (the reference's absolute-index ramp differs by a
+  per-row constant which softmax cancels).
+- Once the window slides, the reference recomputes old positions without
+  the dropped frames; cached K/V keep their as-first-computed values
+  (StreamingLLM-style sliding attention).  The deviation is bounded and
+  regression-tested; for bit-parity use `stream_step`.
+
+TPU-first performance design:
+- ALL per-frame K/V vectors (28 of them: channel-GPT k/v x 2ch, stereo
+  self + cross k/v x 2 towers x 3 layers) live in ONE fused cache of
+  shape (B, T, 28*D).  A frame performs exactly one scatter write of a
+  contiguous (B, 1, 28*D) row at its circular slot — no per-layer
+  cache copies, no O(T) rolls.  Attention reads slice the last dim.
+- Within a step each attention attends over the T cached rows (ages
+  1..T) PLUS the current position's fresh k/v (age 0), so the write can
+  be deferred to one scatter at the end of the step.
+- State is HBM-resident with a leading stream-batch axis; per-stream
+  cache traffic is ~28*D*T*bytes per frame, which (not FLOPs) bounds
+  stream capacity — use bf16 state for 2x capacity.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vap_realtime_tpu.config import VapConfig
+from vap_realtime_tpu.models.encoder import encode_chunk
+from vap_realtime_tpu.models.transformer import alibi_slopes, combinator
+from vap_realtime_tpu.models.vap import heads_forward, probs_from_outputs
+from vap_realtime_tpu.ops.basic import gelu, layer_norm, linear
+
+Params = Dict[str, Any]
+
+
+def cache_layout(cfg: VapConfig) -> List[str]:
+    """Fixed slot order of the fused cache's last dim (28 x D for the
+    default 1 channel layer + 3 cross layers)."""
+    names = []
+    for li in range(cfg.channel_layers):
+        for ch in (0, 1):
+            names += [f"ch{li}.{ch}.k", f"ch{li}.{ch}.v"]
+    for li in range(cfg.cross_layers):
+        for tw in (0, 1):
+            names += [f"x{li}.{tw}.sk", f"x{li}.{tw}.sv",
+                      f"x{li}.{tw}.ck", f"x{li}.{tw}.cv"]
+    return names
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class KVState:
+    """Fused-KV streaming state.
+
+    cache:  (B, T, n_slots*D) — all K/V vectors, written once per frame.
+    lstm_h/lstm_c: (B, 2, D) encoder context-net state.
+    count:  (B,) frames seen.
+    """
+
+    cache: jax.Array
+    lstm_h: jax.Array
+    lstm_c: jax.Array
+    count: jax.Array
+
+
+def init_kv_state(cfg: VapConfig, batch: int = 1,
+                  dtype=jnp.float32) -> KVState:
+    D, T = cfg.dim, cfg.context_frames
+    n = len(cache_layout(cfg))
+    return KVState(
+        cache=jnp.zeros((batch, T, n * D), dtype),
+        lstm_h=jnp.zeros((batch, 2, D), dtype),
+        lstm_c=jnp.zeros((batch, 2, D), dtype),
+        count=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def kv_step(params: Params, state: KVState, chunk: jax.Array,
+            cfg: VapConfig) -> Tuple[KVState, Dict[str, jax.Array]]:
+    """One incremental frame: chunk (B, 2, frame_samples) -> probabilities.
+
+    Mirrors the trunk order of VAPRealTime.process_vap (vap_main.py:272-307)
+    but touches only the newest position.
+    """
+    B = chunk.shape[0]
+    D, T, H = cfg.dim, cfg.context_frames, cfg.num_heads
+    Dh = cfg.head_dim
+    layout = cache_layout(cfg)
+    offset = {name: i * D for i, name in enumerate(layout)}
+    dtype = state.cache.dtype
+
+    # --- encoder (both channels as one batch) ---
+    flat = chunk.reshape(B * 2, -1)
+    e, h_new, c_new = encode_chunk(
+        params["encoder"], flat, state.lstm_h.reshape(B * 2, -1),
+        state.lstm_c.reshape(B * 2, -1), cfg.downsample_kernel)
+    e = e.reshape(B, 2, D).astype(dtype)
+
+    # ages of cached rows relative to the current frame (age 0 = current,
+    # written at the END of this step): slot s holds age ((t-1-s) mod T)+1
+    t = state.count                               # (B,)
+    s_idx = jnp.arange(T)
+    age = ((t[:, None] - 1 - s_idx[None, :]) % T) + 1      # (B, T) in 1..T
+    max_age = jnp.minimum(t, T - 1)                         # live: age<=max
+    live = age <= max_age[:, None]
+    if cfg.context_limit > 0:
+        live = live & (age < cfg.context_limit)
+    slopes = jnp.asarray(alibi_slopes(H), jnp.float32)      # (H,)
+    # additive bias per (B, H, T): -age * m_h; current position bias = 0
+    bias_old = jnp.where(live[:, None, :],
+                         -age[:, None, :].astype(jnp.float32)
+                         * slopes[None, :, None],
+                         -jnp.inf)
+
+    new_vecs: Dict[str, jax.Array] = {}
+
+    def attend(q, k_cur, v_cur, k_name, v_name):
+        """Single-query attention over cached rows + current position.
+
+        q, k_cur, v_cur: (B, D).  Cached K/V are slices of the fused
+        cache at this sub-layer's offsets.
+        """
+        ko, vo = offset[k_name], offset[v_name]
+        k_old = state.cache[:, :, ko:ko + D]                 # (B, T, D)
+        v_old = state.cache[:, :, vo:vo + D]
+        qh = q.reshape(B, H, Dh).astype(jnp.float32)
+        kh = k_old.reshape(B, T, H, Dh).astype(jnp.float32)
+        scale = 1.0 / math.sqrt(D)
+        s_old = jnp.einsum("bhd,bthd->bht", qh, kh) * scale + bias_old
+        s_cur = (jnp.sum(qh * k_cur.reshape(B, H, Dh), axis=-1,
+                         keepdims=True) * scale)             # (B, H, 1)
+        s_all = jnp.concatenate([s_old, s_cur], axis=-1)     # (B, H, T+1)
+        w = jax.nn.softmax(s_all, axis=-1)
+        vh = v_old.reshape(B, T, H, Dh).astype(jnp.float32)
+        out = (jnp.einsum("bht,bthd->bhd", w[:, :, :T], vh)
+               + w[:, :, T:] * v_cur.reshape(B, H, Dh).astype(jnp.float32))
+        return out.reshape(B, D).astype(dtype)
+
+    def self_attn(x, layer, k_name, v_name):
+        z = layer_norm(x, layer["ln_self"]["w"], layer["ln_self"]["b"])
+        k = linear(z, layer["attn"]["k"])
+        v = linear(z, layer["attn"]["v"])
+        q = linear(z, layer["attn"]["q"])
+        new_vecs[k_name], new_vecs[v_name] = k, v
+        return linear(attend(q, k, v, k_name, v_name),
+                      layer["attn"]["proj"])
+
+    def cross_attn(x, src, layer, k_name, v_name):
+        # query from LN(x); K/V from the RAW pre-update other stream
+        # (modules.py:276-283 — src is not normalized)
+        z = layer_norm(x, layer["ln_src"]["w"], layer["ln_src"]["b"])
+        k = linear(src, layer["attn_cross"]["k"])
+        v = linear(src, layer["attn_cross"]["v"])
+        q = linear(z, layer["attn_cross"]["q"])
+        new_vecs[k_name], new_vecs[v_name] = k, v
+        return linear(attend(q, k, v, k_name, v_name),
+                      layer["attn_cross"]["proj"])
+
+    def ffn(x, layer):
+        h = layer_norm(x, layer["ln_ffn"]["w"], layer["ln_ffn"]["b"])
+        return x + linear(gelu(linear(h, layer["ffn"]["w1"])),
+                          layer["ffn"]["w2"])
+
+    # --- channel GPT ---
+    xs = [e[:, 0], e[:, 1]]
+    for li, layer in enumerate(params["ar_channel"]["layers"]):
+        for ch in (0, 1):
+            a = self_attn(xs[ch], layer, f"ch{li}.{ch}.k", f"ch{li}.{ch}.v")
+            xs[ch] = ffn(xs[ch] + a, layer)
+    o1, o2 = xs
+
+    # --- stereo GPT ---
+    x1, x2 = o1, o2
+    for li, layer in enumerate(params["ar"]["layers"]):
+        pre = (x1, x2)
+        new = []
+        for tw in (0, 1):
+            x, other = pre[tw], pre[1 - tw]
+            a = self_attn(x, layer, f"x{li}.{tw}.sk", f"x{li}.{tw}.sv")
+            x = x + a
+            c = cross_attn(x, other, layer, f"x{li}.{tw}.ck",
+                           f"x{li}.{tw}.cv")
+            x = ffn(x + c, layer)
+            new.append(x)
+        x1, x2 = new
+
+    xc = combinator(params["ar"]["combinator"], x1, x2)
+
+    # --- single fused cache write at the circular slot ---
+    row = jnp.concatenate([new_vecs[n] for n in layout], axis=-1)  # (B, nD)
+    slot = t % T
+    cache = state.cache.at[jnp.arange(B), slot, :].set(row.astype(dtype))
+
+    trunk = {"x": xc[:, None], "o1": o1[:, None], "o2": o2[:, None],
+             "x1": x1[:, None], "x2": x2[:, None]}
+    outs = heads_forward(params, trunk, cfg)
+    probs = probs_from_outputs(outs, cfg)
+
+    new_state = KVState(
+        cache=cache,
+        lstm_h=h_new.reshape(B, 2, D).astype(dtype),
+        lstm_c=c_new.reshape(B, 2, D).astype(dtype),
+        count=t + 1,
+    )
+    return new_state, {k: v[:, -1] for k, v in probs.items()}
+
+
+def run_frames_kv(params: Params, state: KVState, frames: jax.Array,
+                  cfg: VapConfig):
+    """`lax.scan` of kv_step over (F, B, 2, frame_samples)."""
+
+    def body(st, chunk):
+        return kv_step(params, st, chunk, cfg)
+
+    return jax.lax.scan(body, state, frames)
