@@ -44,6 +44,8 @@ def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
     chunk = jnp.asarray(
         rng.randn(batch, 2, cfg.frame_samples).astype(np.float32) * 0.1)
     state0 = init_state_fn(cfg, batch)
+    dtype = jax.tree_util.tree_leaves(state0)[0].dtype
+    chunk = chunk.astype(dtype)
 
     def make_runner(F):
         def run(params, state, chunk):
@@ -53,8 +55,8 @@ def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
             def body(carry, _):
                 st, ch, acc = carry
                 st, out = step_fn(params, st, ch, cfg)
-                acc = acc + jnp.sum(out["p_now"])
-                ch = ch * 0.999 + 1e-4 * acc
+                acc = acc + jnp.sum(out["p_now"]).astype(jnp.float32)
+                ch = ch * 0.999 + 1e-4 * acc.astype(ch.dtype)
                 return (st, ch, acc), None
             (st, ch, acc), _ = jax.lax.scan(
                 body, (state, chunk, jnp.float32(0)), None, length=F)
@@ -83,26 +85,38 @@ def main():
     )
     from vap_realtime_tpu.weights.synthetic import synthetic_params
 
+    import functools
+    import os
+
     cfg = VapConfig(frame_hz=20, context_len_sec=2.5)
     frame_period = 1.0 / cfg.frame_hz
-    params = jax.device_put(
+    params_f32 = jax.device_put(
         jax.tree_util.tree_map(jnp.asarray, synthetic_params(20)))
+    params_bf16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), params_f32)
 
     log(f"device: {jax.devices()[0]}")
 
-    import os
-
     batches = [int(b) for b in
                os.environ.get("BENCH_BATCHES", "8192").split(",")]
-    paths = {
-        "full_recompute": (stream_step, init_stream_state, batches),
-        "kv_incremental": (kv_step, init_kv_state, batches),
+    variants = {
+        "full_recompute_bf16": (stream_step, functools.partial(
+            init_stream_state, dtype=jnp.bfloat16), params_bf16, batches),
+        "kv_incremental_bf16": (kv_step, functools.partial(
+            init_kv_state, dtype=jnp.bfloat16), params_bf16, batches),
+        "full_recompute_f32": (stream_step, init_stream_state, params_f32,
+                               batches),
+        "kv_incremental_f32": (kv_step, init_kv_state, params_f32,
+                               batches),
     }
+    if os.environ.get("BENCH_VARIANTS"):
+        keep = os.environ["BENCH_VARIANTS"].split(",")
+        variants = {k: v for k, v in variants.items() if k in keep}
 
     best = 0.0
     best_desc = ""
-    for name, (step, init, batches) in paths.items():
-        for B in batches:
+    for name, (step, init, params, bs) in variants.items():
+        for B in bs:
             try:
                 dt = measure_path(step, init, params, cfg, B)
             except Exception as e:  # OOM etc.

@@ -182,6 +182,66 @@ def run_unit_goldens(tmpdir: str):
     }
 
 
+def synthetic_vad_batch(n_batch=4, n_frames=1000, frame_hz=50, seed=5):
+    """Speech-like alternating VAD with pauses/overlaps/backchannels."""
+    rs = np.random.RandomState(seed)
+    vad = np.zeros((n_batch, n_frames, 2), np.float32)
+    for b in range(n_batch):
+        t = 0
+        spk = rs.randint(2)
+        while t < n_frames:
+            dur = rs.randint(frame_hz // 2, 4 * frame_hz)  # 0.5-4 s turns
+            vad[b, t:t + dur, spk] = 1.0
+            t += dur
+            gap = rs.randint(3, frame_hz)                   # 60ms-1s gaps
+            # occasional backchannel from the other speaker inside gaps
+            if rs.rand() < 0.3:
+                bs = t + rs.randint(0, max(gap - 5, 1))
+                vad[b, bs:bs + rs.randint(3, frame_hz // 2), 1 - spk] = 1.0
+            t += gap
+            if rs.rand() < 0.7:
+                spk = 1 - spk
+    return vad
+
+
+def run_events_golden(ref_root):
+    """Run the reference TurnTakingEvents on deterministic VAD.
+
+    torchaudio is unavailable, so stub the `audio` module that
+    train/utils.py imports (only time_to_frames/load_waveform names)."""
+    import sys
+    import types
+
+    import torch
+
+    train_dir = os.path.join(ref_root, "train")
+    fake_audio = types.ModuleType("audio")
+    fake_audio.time_to_frames = lambda t, hop_time: int(t / hop_time)
+    fake_audio.load_waveform = None
+    sys.modules.setdefault("audio", fake_audio)
+    sys.path.insert(0, train_dir)
+    import events as ref_events  # noqa: E402 (reference train/events.py)
+
+    conf = ref_events.EventConfig(equal_hold_shift=0)
+    eventer = ref_events.TurnTakingEvents(conf)
+    vad = synthetic_vad_batch()
+    out = eventer(torch.from_numpy(vad))
+
+    res = {"vad": vad}
+    for key in ("shift", "hold", "long", "pred_shift", "short"):
+        for b, regions in enumerate(out[key]):
+            res[f"{key}_{b}"] = np.array(sorted(regions),
+                                         np.int64).reshape(-1, 3)
+    # sampled sets: record counts only (python-random dependent)
+    res["n_pred_shift_neg"] = np.array(
+        [len(x) for x in out["pred_shift_neg"]])
+    res["n_pred_backchannel_neg"] = np.array(
+        [len(x) for x in out["pred_backchannel_neg"]])
+    res["n_pred_backchannel"] = np.array(
+        [len(x) for x in out["pred_backchannel"]])
+    return res
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", default="/root/reference")
@@ -190,6 +250,10 @@ def main():
 
     setup_reference(args.reference)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+
+    np.savez(os.path.join(GOLDEN_DIR, "events.npz"),
+             **run_events_golden(args.reference))
+    print("wrote events.npz")
 
     with tempfile.TemporaryDirectory() as tmp:
         np.savez(os.path.join(GOLDEN_DIR, "unit.npz"),

@@ -112,11 +112,15 @@ def loss_vap(logits: jax.Array, labels: jax.Array,
              reduction: str = "mean") -> jax.Array:
     """Cross-entropy over the 256 classes (objective.py:222-245).
 
-    logits: (B, T', n_classes); labels: (B, T).  Extra logit frames beyond
-    the label horizon are dropped, as in the reference.
+    logits: (B, T', n_classes); labels: (B, T).  Extra frames on EITHER
+    side are dropped (the reference drops extra logits, objective.py:232-234,
+    but its own 50 Hz training arithmetic can also leave labels one frame
+    longer than logits — 999 encoder frames vs 1000 label windows — so we
+    truncate both to the common length).
     """
-    nmax = labels.shape[1]
+    nmax = min(labels.shape[1], logits.shape[1])
     logits = logits[:, :nmax]
+    labels = labels[:, :nmax]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     if reduction == "mean":

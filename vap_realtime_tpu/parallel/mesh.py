@@ -30,9 +30,18 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def shard_batch(mesh: Mesh, tree: Any, axis_name: str = "dp") -> Any:
-    """Shard every leaf's leading (batch/stream) axis over the mesh."""
+    """Shard every leaf's leading (batch/stream) axis over the mesh.
+
+    Leaves whose leading dim is not divisible by the mesh size (e.g. a
+    tiny test batch on an 8-device mesh) are replicated instead — XLA
+    still partitions the compute it can."""
+    n = mesh.devices.size
+
     def put(x):
-        spec = P(axis_name, *([None] * (x.ndim - 1)))
+        if x.ndim >= 1 and x.shape[0] % n == 0:
+            spec = P(axis_name, *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, tree)

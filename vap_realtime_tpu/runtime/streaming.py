@@ -91,56 +91,66 @@ def _encode_and_append(params: Params, state: StreamState, chunk: jax.Array,
 
 
 def _masked_bias(cfg: VapConfig, valid: jax.Array,
-                 dtype=jnp.float32) -> jax.Array:
-    """(B, H, T, T) AliBi+causal bias with invalid (pre-history) keys masked.
+                 dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """AliBi+causal bias and per-stream key mask, kept FACTORED as
+    (base (H, T, T), key_ok (B, T)) — materializing the combined
+    (B, H, T, T) tensor would add ~T^2*H*4 bytes of HBM traffic per
+    stream per frame for what is really rank-1 information.
 
-    valid: (B,) number of real frames in the right-aligned buffer.
-    Slot j is a real frame iff j >= T - valid.  Using slot indices for the
-    AliBi ramp is exact: per query row it differs from window positions by
-    a constant, which softmax cancels.
+    valid: (B,) number of real frames in the right-aligned buffer; slot j
+    is a real frame iff j >= T - valid.  Using slot indices for the AliBi
+    ramp is exact: per query row it differs from window positions by a
+    constant, which softmax cancels.
+
+    The diagonal is kept allowed for invalid (pre-history) query rows so
+    their softmax has one finite entry — otherwise all -inf rows produce
+    NaN and 0 * NaN from masked weights would poison valid rows
+    downstream.  (Applied inside the attention via `key_ok | eye`.)
     """
     T = cfg.context_frames
     base = alibi_bias(T, cfg.num_heads, cfg.context_limit, dtype)  # (H,T,T)
     j = jnp.arange(T)
     key_ok = j[None, :] >= (T - valid)[:, None]                    # (B, T)
-    allowed = key_ok[:, None, None, :]
-    # Invalid (pre-history) query rows must still attend SOMETHING or their
-    # softmax is all -inf -> NaN, and 0 * NaN from masked weights would
-    # poison valid rows downstream.  Let every row keep its diagonal key;
-    # for valid rows the diagonal is already allowed, for garbage rows it
-    # only affects their own (ignored) output.
-    eye = (j[:, None] == j[None, :])[None, None]
-    return jnp.where(allowed | eye, base[None], jnp.asarray(-jnp.inf, dtype))
+    return base, key_ok
 
 
 def trunk_full(params: Params, e1: jax.Array, e2: jax.Array,
-               bias: jax.Array, cfg: VapConfig) -> Dict[str, jax.Array]:
-    """Stereo trunk over fixed-size buffers with an explicit (B,H,T,T) bias.
+               bias: Tuple[jax.Array, jax.Array],
+               cfg: VapConfig) -> Dict[str, jax.Array]:
+    """Stereo trunk over fixed-size buffers with factored masking
+    (base (H,T,T) bias + per-stream (B,T) key mask).
 
     Same math as models.vap.trunk_forward but with per-stream validity
     masking for the growing-context cold start.
     """
     B = e1.shape[0]
+    base, key_ok = bias
     both = jnp.concatenate([e1, e2], axis=0)
-    bias2 = jnp.concatenate([bias, bias], axis=0)
+    key_ok2 = jnp.concatenate([key_ok, key_ok], axis=0)
     x = both
     for layer in params["ar_channel"]["layers"]:
-        x = _masked_layer(layer, x, bias2, cfg)
+        x = _masked_layer(layer, x, base, key_ok2, cfg)
     o1, o2 = x[:B], x[B:]
 
     x1, x2 = o1, o2
     for layer in params["ar"]["layers"]:
-        n1 = _masked_layer(layer, x1, bias, cfg, src=x2)
-        n2 = _masked_layer(layer, x2, bias, cfg, src=x1)
+        n1 = _masked_layer(layer, x1, base, key_ok, cfg, src=x2)
+        n2 = _masked_layer(layer, x2, base, key_ok, cfg, src=x1)
         x1, x2 = n1, n2
     xc = combinator(params["ar"]["combinator"], x1, x2)
     return {"x": xc, "x1": x1, "x2": x2, "o1": o1, "o2": o2}
 
 
-def _masked_layer(layer: Params, x: jax.Array, bias: jax.Array,
-                  cfg: VapConfig, src: Optional[jax.Array] = None):
-    """transformer_layer with a per-batch (B, H, T, T) bias."""
+def _masked_layer(layer: Params, x: jax.Array, base: jax.Array,
+                  key_ok: jax.Array, cfg: VapConfig,
+                  src: Optional[jax.Array] = None):
+    """transformer_layer with factored (H,T,T) bias + (B,T) key mask."""
     from vap_realtime_tpu.ops.basic import layer_norm, linear, gelu
+
+    T = x.shape[1]
+    eye = jnp.eye(T, dtype=bool)
+    allowed = key_ok[:, None, None, :] | eye[None, None]   # (B,1,T,T)
+    neg = jnp.asarray(-jnp.inf, x.dtype)
 
     def attn(p, q_in, kv_in):
         B, T, D = q_in.shape
@@ -151,7 +161,7 @@ def _masked_layer(layer: Params, x: jax.Array, bias: jax.Array,
         k = split(linear(kv_in, p["k"]))
         v = split(linear(kv_in, p["v"]))
         s = jnp.einsum("bhid,bhjd->bhij", q, k) * (1.0 / math.sqrt(D))
-        s = s + bias
+        s = jnp.where(allowed, s + base[None], neg)
         a = jax.nn.softmax(s, axis=-1)
         y = jnp.einsum("bhij,bhjd->bhid", a, v)
         y = y.transpose(0, 2, 1, 3).reshape(B, T, D)
