@@ -98,7 +98,7 @@ def main():
     log(f"device: {jax.devices()[0]}")
 
     batches = [int(b) for b in
-               os.environ.get("BENCH_BATCHES", "8192").split(",")]
+               os.environ.get("BENCH_BATCHES", "4096").split(",")]
     variants = {
         "full_recompute_bf16": (stream_step, functools.partial(
             init_stream_state, dtype=jnp.bfloat16), params_bf16, batches),
@@ -109,9 +109,10 @@ def main():
         "kv_incremental_f32": (kv_step, init_kv_state, params_f32,
                                batches),
     }
-    if os.environ.get("BENCH_VARIANTS"):
-        keep = os.environ["BENCH_VARIANTS"].split(",")
-        variants = {k: v for k, v in variants.items() if k in keep}
+    keep = os.environ.get(
+        "BENCH_VARIANTS",
+        "kv_incremental_bf16,full_recompute_bf16").split(",")
+    variants = {k: v for k, v in variants.items() if k in keep}
 
     best = 0.0
     best_desc = ""

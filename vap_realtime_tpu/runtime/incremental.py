@@ -71,13 +71,21 @@ class KVState:
 
     cache:  (B, T, n_slots*D) — all K/V vectors, written once per frame.
     lstm_h/lstm_c: (B, 2, D) encoder context-net state.
-    count:  (B,) frames seen.
+    count:  (B,) frames seen per stream (drives validity masks only).
+    step:   () GLOBAL frame counter — all streams in an arena step
+            together, so the circular write slot is the scalar
+            ``step % T``: the cache write is one contiguous
+            dynamic_update_slice instead of a per-stream scatter (TPU
+            scatter over a batch of rows serializes catastrophically).
+            A stream (re)joining a slot just resets its `count`; its
+            stale cache rows are masked out by the age/validity test.
     """
 
     cache: jax.Array
     lstm_h: jax.Array
     lstm_c: jax.Array
     count: jax.Array
+    step: jax.Array
 
 
 def init_kv_state(cfg: VapConfig, batch: int = 1,
@@ -89,6 +97,7 @@ def init_kv_state(cfg: VapConfig, batch: int = 1,
         lstm_h=jnp.zeros((batch, 2, D), dtype),
         lstm_c=jnp.zeros((batch, 2, D), dtype),
         count=jnp.zeros((batch,), jnp.int32),
+        step=jnp.zeros((), jnp.int32),
     )
 
 
@@ -114,19 +123,20 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
     e = e.reshape(B, 2, D).astype(dtype)
 
     # ages of cached rows relative to the current frame (age 0 = current,
-    # written at the END of this step): slot s holds age ((t-1-s) mod T)+1
-    t = state.count                               # (B,)
+    # written at the END of this step).  The write slot is GLOBAL:
+    # slot s holds age ((g-1-s) mod T)+1 where g = state.step.
+    g = state.step                                # () global frame index
     s_idx = jnp.arange(T)
-    age = ((t[:, None] - 1 - s_idx[None, :]) % T) + 1      # (B, T) in 1..T
-    max_age = jnp.minimum(t, T - 1)                         # live: age<=max
-    live = age <= max_age[:, None]
+    age = ((g - 1 - s_idx) % T) + 1               # (T,) in 1..T
+    max_age = jnp.minimum(state.count, T - 1)     # (B,) live: age<=max
+    live = age[None, :] <= max_age[:, None]       # (B, T)
     if cfg.context_limit > 0:
-        live = live & (age < cfg.context_limit)
+        live = live & (age[None, :] < cfg.context_limit)
     slopes = jnp.asarray(alibi_slopes(H), jnp.float32)      # (H,)
     # additive bias per (B, H, T): -age * m_h; current position bias = 0
     bias_old = jnp.where(live[:, None, :],
-                         -age[:, None, :].astype(jnp.float32)
-                         * slopes[None, :, None],
+                         (-age.astype(jnp.float32)[None, None, :]
+                          * slopes[None, :, None]),
                          -jnp.inf)
 
     new_vecs: Dict[str, jax.Array] = {}
@@ -203,10 +213,11 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
 
     xc = combinator(params["ar"]["combinator"], x1, x2)
 
-    # --- single fused cache write at the circular slot ---
+    # --- single fused cache write at the (global, scalar) circular slot ---
     row = jnp.concatenate([new_vecs[n] for n in layout], axis=-1)  # (B, nD)
-    slot = t % T
-    cache = state.cache.at[jnp.arange(B), slot, :].set(row.astype(dtype))
+    cache = jax.lax.dynamic_update_slice(
+        state.cache, row.astype(dtype)[:, None, :],
+        (0, g % T, 0))
 
     trunk = {"x": xc[:, None], "o1": o1[:, None], "o2": o2[:, None],
              "x1": x1[:, None], "x2": x2[:, None]}
@@ -217,7 +228,8 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
         cache=cache,
         lstm_h=h_new.reshape(B, 2, D).astype(dtype),
         lstm_c=c_new.reshape(B, 2, D).astype(dtype),
-        count=t + 1,
+        count=state.count + 1,
+        step=g + 1,
     )
     return new_state, {k: v[:, -1] for k, v in probs.items()}
 
