@@ -1,0 +1,115 @@
+"""StreamArena lifecycle + batched multiplexed server end-to-end."""
+
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from tests.conftest import load_golden_stream
+from vap_realtime_tpu.config import VapConfig
+from vap_realtime_tpu.io import wire
+from vap_realtime_tpu.runtime.arena import StreamArena
+from vap_realtime_tpu.weights.synthetic import synthetic_audio, synthetic_params
+
+
+@pytest.fixture(scope="module")
+def arena_cfg():
+    return VapConfig(frame_hz=20, context_len_sec=1.0)
+
+
+def _frames(audio, cfg):
+    from vap_realtime_tpu.runtime.streaming import frame_audio
+    return frame_audio(audio, cfg)
+
+
+def test_arena_isolation_and_reuse(arena_cfg):
+    """Two streams give identical results regardless of slot, joining
+    time, or previous slot occupants."""
+    cfg = arena_cfg
+    params = synthetic_params(20)
+    arena = StreamArena(cfg, params, capacity=4, path="kv")
+    audio = synthetic_audio(16000 * 2)
+    frames = _frames(audio, cfg)
+
+    s0 = arena.add_stream()
+    # run stream s0 alone for 3 frames
+    out_a = [arena.step({s0: frames[i]})[s0]["p_now"] for i in range(3)]
+
+    # second stream joins late with the SAME audio; must reproduce the
+    # same trajectory despite the arena's global step being further along
+    s1 = arena.add_stream()
+    assert s1 != s0
+    out_b = []
+    for i in range(3):
+        res = arena.step({s0: frames[3 + i], s1: frames[i]})
+        out_b.append(res[s1]["p_now"])
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # evict s0, admit a new stream into the same slot: history must reset
+    arena.remove_stream(s0)
+    s2 = arena.add_stream()
+    assert s2 == s0  # slot reuse
+    out_c = [arena.step({s2: frames[i]})[s2]["p_now"] for i in range(3)]
+    for a, c in zip(out_a, out_c):
+        np.testing.assert_allclose(a, c, atol=1e-5)
+
+
+def test_arena_capacity(arena_cfg):
+    arena = StreamArena(arena_cfg, synthetic_params(20), capacity=2)
+    a = arena.add_stream()
+    b = arena.add_stream()
+    assert arena.add_stream() is None
+    arena.remove_stream(a)
+    assert arena.add_stream() is not None
+    assert arena.n_active == 2
+
+
+def test_batched_server_two_streams(arena_cfg):
+    """Two concurrent TCP streams through the multiplexed server receive
+    independent, correct results."""
+    from vap_realtime_tpu.runtime.server_batched import BatchedVapServer
+
+    golden = load_golden_stream("stream_vap_20hz.npz")
+    cfg = arena_cfg
+    arena = StreamArena(cfg, synthetic_params(20), capacity=4, path="kv")
+    arena.warmup()
+    server = BatchedVapServer(arena, mode="vap", port=0)
+    server.start_background()
+    port = server.bound_port
+
+    audio = golden["audio"].astype(np.float64)
+
+    def run_client(results, n_results=4):
+        with socket.create_connection(("127.0.0.1", port), timeout=30) as s:
+            got = 0
+            hop = 0
+            while got < n_results:
+                b = wire.conv_2floatarray_2_bytearray(
+                    audio[0, hop * 160:(hop + 1) * 160],
+                    audio[1, hop * 160:(hop + 1) * 160])
+                s.sendall(b)
+                hop += 1
+                if hop % 5 == 0:  # a frame should be ready
+                    results.append(wire.deserialize_result(
+                        wire.read_framed(s), "vap"))
+                    got += 1
+
+    r1: list = []
+    r2: list = []
+    t1 = threading.Thread(target=run_client, args=(r1,), daemon=True)
+    t2 = threading.Thread(target=run_client, args=(r2,), daemon=True)
+    t1.start()
+    time.sleep(0.2)
+    t2.start()
+    t1.join(timeout=30)
+    t2.join(timeout=30)
+    server.stop()
+
+    assert len(r1) == 4 and len(r2) == 4
+    # same audio -> same probabilities, despite different join times/slots
+    for a, b in zip(r1, r2):
+        np.testing.assert_allclose(a["p_now"], b["p_now"], atol=1e-5)
+    assert all(0.0 < r["p_now"][0] < 1.0 for r in r1)

@@ -62,6 +62,18 @@ class VapConfig:
     # Head variant: "vap" | "bc" | "nod"
     mode: str = "vap"
 
+    # Language-ID multi-task head (reference train/model.py:66-69,149-156):
+    # 0 = off, 1 = classify from the combined last layer, 2 = from the
+    # concatenated channel streams ("middle").
+    lid_classify: int = 0
+    lid_classify_num_class: int = 3
+
+    # Where va_classifier taps the trunk.  The reference is inconsistent:
+    # realtime uses the channel-GPT outputs o1/o2 (vap_main.py:292-293),
+    # training uses the post-stereo tower streams x1/x2
+    # (train/model.py:305-308).  "channel" reproduces realtime behaviour.
+    vad_tap: str = "channel"  # "channel" | "stereo"
+
     # ----- derived quantities (frame-rate arithmetic, SURVEY.md App. B) -----
 
     @property

@@ -71,6 +71,16 @@ def init_vap_params(rng: jax.Array, cfg: VapConfig,
         p["bc_head"] = {
             "w": jax.random.normal(kh[4], (1, cfg.dim), dtype) * std,
             "b": jnp.zeros((1,), dtype)}
+    if cfg.lid_classify == 1:
+        p["lid_classifier"] = {
+            "w": jax.random.normal(kh[5], (cfg.lid_classify_num_class,
+                                           cfg.dim), dtype) * std,
+            "b": jnp.zeros((cfg.lid_classify_num_class,), dtype)}
+    elif cfg.lid_classify == 2:
+        p["lid_classifier_middle"] = {
+            "w": jax.random.normal(kh[5], (cfg.lid_classify_num_class,
+                                           2 * cfg.dim), dtype) * std,
+            "b": jnp.zeros((cfg.lid_classify_num_class,), dtype)}
     return p
 
 
@@ -114,14 +124,27 @@ def heads_forward(params: Params, trunk: Dict[str, jax.Array],
     Always returns `logits` (B, T, 256) and per-channel `vad1`/`vad2`
     logits (B, T, 1); adds `bc_logits` / `nod_logits` for the variants.
     """
+    # va tap: realtime uses the channel streams o1/o2, training uses the
+    # stereo towers x1/x2 (see VapConfig.vad_tap)
+    v1_src = trunk["o1"] if cfg.vad_tap == "channel" else trunk["x1"]
+    v2_src = trunk["o2"] if cfg.vad_tap == "channel" else trunk["x2"]
     out: Dict[str, jax.Array] = {
         "logits": linear(trunk["x"], params["vap_head"]["w"],
                          params["vap_head"]["b"]),
-        "vad1": linear(trunk["o1"], params["va_classifier"]["w"],
+        "vad1": linear(v1_src, params["va_classifier"]["w"],
                        params["va_classifier"]["b"]),
-        "vad2": linear(trunk["o2"], params["va_classifier"]["w"],
+        "vad2": linear(v2_src, params["va_classifier"]["w"],
                        params["va_classifier"]["b"]),
     }
+    if cfg.lid_classify == 1:
+        out["lid_logits"] = linear(trunk["x"],
+                                   params["lid_classifier"]["w"],
+                                   params["lid_classifier"]["b"])
+    elif cfg.lid_classify == 2:
+        mid = jnp.concatenate([trunk["o1"], trunk["o2"]], axis=-1)
+        out["lid_logits"] = linear(mid,
+                                   params["lid_classifier_middle"]["w"],
+                                   params["lid_classifier_middle"]["b"])
     if cfg.mode == "bc":
         out["bc_logits"] = linear(trunk["x"], params["bc_head"]["w"],
                                   params["bc_head"]["b"])

@@ -1,0 +1,109 @@
+"""StreamArena — slot-based multi-stream serving state (HBM-resident).
+
+The XLA-static-shape answer to ragged stream lifecycles (SURVEY.md §7.3):
+a fixed-capacity arena of stream slots with per-slot validity counters.
+Admission = reset a free slot's recurrent state (its stale cache rows are
+masked out by the age/validity test, so no cache clearing is needed);
+eviction = return the slot to the free list.  Every tick steps the FULL
+batch in one jitted dispatch; empty slots process silence and their
+outputs are ignored.
+
+This is the "batched multi-stream serving: state arena, stream
+add/remove" component (SURVEY.md §7.2 item 4, BASELINE configs[3]).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vap_realtime_tpu.config import VapConfig
+from vap_realtime_tpu.runtime import incremental, streaming
+
+
+def _reset_slot(state, idx: jax.Array):
+    """Zero one slot's recurrent state + validity counter (jit-friendly)."""
+    if isinstance(state, incremental.KVState):
+        return incremental.KVState(
+            cache=state.cache,  # stale rows masked by count
+            lstm_h=state.lstm_h.at[idx].set(0.0),
+            lstm_c=state.lstm_c.at[idx].set(0.0),
+            count=state.count.at[idx].set(0),
+            step=state.step,
+        )
+    return streaming.StreamState(
+        lstm_h=state.lstm_h.at[idx].set(0.0),
+        lstm_c=state.lstm_c.at[idx].set(0.0),
+        e_ctx=state.e_ctx,  # masked by count (right-aligned validity)
+        count=state.count.at[idx].set(0),
+    )
+
+
+class StreamArena:
+    """Fixed-capacity batched streaming engine with slot lifecycle."""
+
+    def __init__(self, cfg: VapConfig, params, capacity: int = 64,
+                 path: str = "kv", dtype=jnp.float32):
+        self.cfg = cfg
+        self.capacity = capacity
+        self.params = jax.device_put(
+            jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params))
+        if path == "kv":
+            self.state = incremental.init_kv_state(cfg, capacity, dtype)
+            self._step = jax.jit(incremental.kv_step, static_argnums=3)
+        else:
+            self.state = streaming.init_stream_state(cfg, capacity, dtype)
+            self._step = jax.jit(streaming.stream_step, static_argnums=3)
+        self._reset = jax.jit(_reset_slot)
+        self._free: List[int] = list(range(capacity))
+        self._active: Dict[int, bool] = {}
+        self._lock = threading.Lock()
+        self._zero = np.zeros((capacity, 2, cfg.frame_samples), np.float32)
+
+    # --- lifecycle ---------------------------------------------------------
+
+    @property
+    def n_active(self) -> int:
+        return len(self._active)
+
+    def add_stream(self) -> Optional[int]:
+        """Claim a slot; returns its id or None when full."""
+        with self._lock:
+            if not self._free:
+                return None
+            slot = self._free.pop()
+            self._active[slot] = True
+        self.state = self._reset(self.state, jnp.asarray(slot))
+        return slot
+
+    def remove_stream(self, slot: int) -> None:
+        with self._lock:
+            if self._active.pop(slot, None) is not None:
+                self._free.append(slot)
+
+    # --- stepping ----------------------------------------------------------
+
+    def warmup(self) -> None:
+        st, out = self._step(self.params, self.state,
+                             jnp.asarray(self._zero), self.cfg)
+        jax.block_until_ready(out)
+
+    def step(self, chunks: Dict[int, np.ndarray]) -> Dict[int, Dict]:
+        """chunks: {slot: (2, frame_samples)} for streams with a fresh
+        frame this tick; other active slots advance on silence.
+
+        Returns {slot: {output_name: np.ndarray}} for the slots in
+        `chunks`.
+        """
+        batch = self._zero.copy()
+        for slot, chunk in chunks.items():
+            batch[slot] = chunk
+        self.state, out = self._step(self.params, self.state,
+                                     jnp.asarray(batch), self.cfg)
+        out_np = {k: np.asarray(v) for k, v in out.items()}
+        return {slot: {k: v[slot] for k, v in out_np.items()}
+                for slot in chunks}

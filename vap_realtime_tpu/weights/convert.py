@@ -114,6 +114,10 @@ def convert_state_dict(vap_sd: Mapping[str, np.ndarray],
     if "nod_head.weight" in vap_sd:
         params["nod_head"] = {"w": _t(vap_sd["nod_head.weight"]),
                               "b": _t(vap_sd["nod_head.bias"])}
+    for lid_key in ("lid_classifier", "lid_classifier_middle"):
+        if f"{lid_key}.weight" in vap_sd:
+            params[lid_key] = {"w": _t(vap_sd[f"{lid_key}.weight"]),
+                               "b": _t(vap_sd[f"{lid_key}.bias"])}
     return params
 
 
