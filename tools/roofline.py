@@ -24,7 +24,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def chain_time(make_step, n_long=24, n_short=4, reps=2) -> float:
+def chain_time(make_step, n_long=16, n_short=4, reps=1) -> float:
     """Difference-quotient steady-state seconds per step."""
 
     def runner(F):

@@ -55,6 +55,10 @@ class VapConfig:
     dff_k: int = 3
     dropout: float = 0.1
     context_limit: int = -1  # optional attention band mask (modules.py:196-200)
+    # train-time truncated-context CPC mode: each frame's embedding is
+    # recomputed from only the trailing N seconds of audio
+    # (reference train/encoder.py:119-247); <= 0 disables.
+    context_limit_cpc_sec: float = -1.0
 
     # Streaming
     context_len_sec: float = 2.5

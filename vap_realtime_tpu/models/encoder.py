@@ -29,6 +29,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
+from vap_realtime_tpu.config import CPC_DOWNSAMPLE
 from vap_realtime_tpu.ops.basic import (
     channel_norm, conv1d, gelu, layer_norm, lstm,
 )
@@ -128,6 +129,40 @@ def encode_chunk(params: Params, wav: jax.Array, h0: jax.Array,
     y, h_new, c_new = cpc_context(params, z, h0, c0)  # (B, n-2, C)
     e = downsample(params, y, downsample_kernel)     # (B, 1, C)
     return e[:, 0, :], h_new, c_new
+
+
+def encode_sequence_limited(params: Params, wav: jax.Array,
+                            downsample_kernel: int,
+                            limit_sec: float,
+                            sample_rate: int = 16000) -> jax.Array:
+    """Truncated-context encoding (train/encoder.py:119-247
+    `lim_context_sec` mode): each output frame's embedding is recomputed
+    from only the trailing `limit_sec` of audio, so the CPC context never
+    sees further back than the limit.
+
+    wav: (B, L) -> (B, T_frames, C).  T_frames matches `encode_sequence`.
+    Implemented as a scan over frame-aligned windows (the reference loops
+    in Python with a disk cache; here one compiled scan).
+    """
+    hop = CPC_DOWNSAMPLE * downsample_kernel          # samples per frame
+    L = wav.shape[1]
+    n_frames = (L // CPC_DOWNSAMPLE - 2) // downsample_kernel
+    win = int(limit_sec * sample_rate)
+    win = max((win // hop) * hop, hop * 2)            # frame-aligned
+    pad = jnp.zeros((wav.shape[0], win), wav.dtype)
+    wav_p = jnp.concatenate([pad, wav], axis=1)
+
+    def body(_, t):
+        # window ending at the audio consumed by frame t
+        end = win + (t + 1) * hop + 2 * CPC_DOWNSAMPLE
+        start = end - win - 2 * CPC_DOWNSAMPLE
+        chunk = jax.lax.dynamic_slice_in_dim(
+            wav_p, start, win + 2 * CPC_DOWNSAMPLE, axis=1)
+        e = encode_sequence(params, chunk, downsample_kernel)
+        return None, e[:, -1, :]
+
+    _, es = jax.lax.scan(body, None, jnp.arange(n_frames))
+    return jnp.swapaxes(es, 0, 1)                     # (B, T, C)
 
 
 def encode_sequence(params: Params, wav: jax.Array,

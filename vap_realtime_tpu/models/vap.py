@@ -173,6 +173,8 @@ def probs_from_outputs(outputs: Dict[str, jax.Array],
     probs = jax.nn.softmax(outputs["logits"], axis=-1)
     res["p_now"] = obj.p_now(probs, cfg.n_bins)
     res["p_future"] = obj.p_future(probs, cfg.n_bins)
+    # bit-entropy over the 256 projection states (train/model.py:233-242)
+    res["H"] = -jnp.sum(probs * jnp.log2(probs + 1e-20), axis=-1)
     if cfg.mode == "bc":
         bc = jax.nn.softmax(outputs["bc_logits"], axis=-1)
         res["p_bc_react"] = bc[..., 1]
@@ -204,7 +206,14 @@ def forward_waveform(params: Params, waveform: jax.Array, cfg: VapConfig,
     """
     B = waveform.shape[0]
     wav = jnp.concatenate([waveform[:, 0], waveform[:, 1]], axis=0)
-    e = encode_sequence(params["encoder"], wav, cfg.downsample_kernel)
+    if cfg.context_limit_cpc_sec > 0:
+        from vap_realtime_tpu.models.encoder import encode_sequence_limited
+        e = encode_sequence_limited(params["encoder"], wav,
+                                    cfg.downsample_kernel,
+                                    cfg.context_limit_cpc_sec,
+                                    cfg.sample_rate)
+    else:
+        e = encode_sequence(params["encoder"], wav, cfg.downsample_kernel)
     e1, e2 = e[:B], e[B:]
     return forward_context(params, e1, e2, cfg, rng)
 
