@@ -20,3 +20,17 @@ state, static shapes, `lax.scan` over frames, sharded stream batches over
 __version__ = "0.1.0"
 
 from vap_realtime_tpu.config import VapConfig  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax at package import)
+    if name == "Vap":
+        from vap_realtime_tpu.api import Vap
+        return Vap
+    if name == "VapEngine":
+        from vap_realtime_tpu.runtime.engine import VapEngine
+        return VapEngine
+    if name == "VapModel":
+        from vap_realtime_tpu.models.vap import VapModel
+        return VapModel
+    raise AttributeError(name)
