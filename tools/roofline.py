@@ -24,35 +24,31 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def chain_time(make_step, n_long=16, n_short=4, reps=1) -> float:
-    """Difference-quotient steady-state seconds per step."""
+_OVERHEAD = [0.0]  # calibrated fixed per-dispatch overhead (relay RTT)
 
-    def runner(F):
-        step = make_step()
 
-        def run(carry):
-            def body(c, _):
-                return step(c), None
-            c, _ = jax.lax.scan(body, carry, None, length=F)
-            return c
-        return jax.jit(run)
+def chain_time(make_step, F=16, reps=2) -> float:
+    """Steady-state seconds per step: one F-length scan per sample minus
+    the calibrated fixed dispatch overhead (one compile per component)."""
+    step = make_step()
 
-    def timed(F):
-        run = runner(F)
-        c0 = make_step.init()
-        c = run(c0)
-        jax.tree_util.tree_map(
-            lambda x: np.asarray(x).ravel()[:1], c)
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            c = run(c0)
-            jax.tree_util.tree_map(
-                lambda x: np.asarray(x).ravel()[:1], c)
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def run(carry):
+        def body(c, _):
+            return step(c), None
+        c, _ = jax.lax.scan(body, carry, None, length=F)
+        return c
 
-    return max((timed(n_long) - timed(n_short)) / (n_long - n_short), 1e-9)
+    runj = jax.jit(run)
+    c0 = make_step.init()
+    c = runj(c0)  # compile + warm
+    jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[:1], c)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        c = runj(c0)
+        jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[:1], c)
+        best = min(best, time.perf_counter() - t0)
+    return max((best - _OVERHEAD[0]) / F, 1e-9)
 
 
 class Component:
@@ -132,19 +128,26 @@ def build_components(B, dtype, cfg, params):
 
 
 def measure_peak(dtype) -> float:
-    """Measured matmul peak via a big chained matmul."""
+    """Measured matmul peak via chained matmuls; also calibrates the
+    fixed per-sample overhead used by chain_time."""
     n = 4096
     a = jnp.ones((n, n), dtype) * 0.001
     f = jax.jit(lambda a, c: a @ c * 0.001)
     c = f(a, a)
     _ = np.asarray(c[0, :1])
-    t0 = time.perf_counter()
-    N = 60
-    for _ in range(N):
-        c = f(a, c)
-    _ = np.asarray(c[0, :1])
-    dt = (time.perf_counter() - t0) / N
-    return 2 * n ** 3 / dt
+
+    def timed(N):
+        t0 = time.perf_counter()
+        cc = c
+        for _ in range(N):
+            cc = f(a, cc)
+        _ = np.asarray(cc[0, :1])
+        return time.perf_counter() - t0
+
+    t20, t80 = timed(20), timed(80)
+    per = (t80 - t20) / 60
+    _OVERHEAD[0] = max(t20 - 20 * per, 0.0)
+    return 2 * n ** 3 / per
 
 
 def main():

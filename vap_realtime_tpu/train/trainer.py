@@ -82,9 +82,19 @@ def loss_fn(params, batch, cfg: VapConfig, rng):
     return l_vap + l_vad, {"loss_vap": l_vap, "loss_vad": l_vad}
 
 
-def make_train_step(tx, cfg: VapConfig):
+def make_train_step(tx, cfg: VapConfig, augment: bool = False):
+    """Jitted SGD step; optional on-device waveform augmentation
+    (noise + STFT freq-mask, the noise-robust "MC" recipe —
+    reference train/transforms.py via AudioAugmentationCallback)."""
+    if augment:
+        from vap_realtime_tpu.train.transforms import augment_batch
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
+        if augment:
+            rng, aug_rng = jax.random.split(rng)
+            batch = dict(batch,
+                         waveform=augment_batch(batch["waveform"], aug_rng))
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, cfg, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -148,7 +158,7 @@ def find_best_checkpoint(ckpt_dir: str) -> Optional[str]:
 def fit(vap_cfg: VapConfig, data_cfg: DataConfig, opt_cfg: OptConfig,
         event_cfg: Optional[EventConfig] = None,
         ckpt_dir: str = "runs/vap", init_params=None,
-        resume_from: Optional[str] = None,
+        resume_from: Optional[str] = None, augment: bool = False,
         log_fn=print) -> Dict[str, float]:
     os.makedirs(ckpt_dir, exist_ok=True)
     mesh = make_mesh()
@@ -163,7 +173,7 @@ def fit(vap_cfg: VapConfig, data_cfg: DataConfig, opt_cfg: OptConfig,
     tx = make_tx(params, opt_cfg)
     opt_state = tx.init(params)
 
-    step_fn = make_train_step(tx, vap_cfg)
+    step_fn = make_train_step(tx, vap_cfg, augment=augment)
     eval_fn = make_eval_step(vap_cfg)
     eventer = TurnTakingEvents(event_cfg) if event_cfg else None
 
@@ -249,6 +259,8 @@ def main(argv=None):
                     ("ckpt_dir", str, "runs/vap"),
                     ("resume_from", str, None)]:
         ap.add_argument(f"--{f}", type=t, default=d)
+    ap.add_argument("--augment", action="store_true",
+                    help="noise-robust (MC) waveform augmentation")
     args = ap.parse_args(argv)
 
     vap_cfg = args_to_conf(args)
@@ -267,7 +279,7 @@ def main(argv=None):
     event_cfg = EventConfig(frame_hz=vap_cfg.frame_hz,
                             max_time=data_cfg.audio_duration)
     fit(vap_cfg, data_cfg, opt_cfg, event_cfg, ckpt_dir=args.ckpt_dir,
-        resume_from=args.resume_from)
+        resume_from=args.resume_from, augment=args.augment)
 
 
 if __name__ == "__main__":

@@ -69,23 +69,67 @@ def freq_mask(wav: jax.Array, rng: jax.Array, n_fft: int = 400,
     out = out.at[..., idx].add(frames)
     norm = norm.at[idx.reshape(-1)].add(
         jnp.tile(window ** 2, (n_frames,)))
-    return out / jnp.maximum(norm, 1e-8)
+    # where window coverage is negligible (signal edges) keep the input:
+    # dividing masked-spectrum leakage by a vanishing norm explodes
+    ola = out / jnp.maximum(norm, 1e-2)
+    return jnp.where(norm >= 1e-1, ola, wav)
 
 
 def pitch_shift(wav: jax.Array, steps: float, n_fft: int = 400,
-                hop: int = 160) -> jax.Array:
-    """Approximate pitch shift: resample by 2^(steps/12) then linear-interp
-    back to the original length (transforms.py PitchShift analogue).
+                hop: int = 100) -> jax.Array:
+    """Phase-vocoder pitch shift by `steps` semitones, duration preserved
+    (the torchaudio PitchShift recipe the reference uses: STFT
+    time-stretch by 1/rate, then resample by rate).
 
-    NOTE: the reference itself disables determinism around pitch_shift
+    NOTE: the reference disables determinism around pitch_shift
     (train/transforms.py:102-107); this version is deterministic.
+    wav: (..., L).
     """
     rate = 2.0 ** (steps / 12.0)
     L = wav.shape[-1]
-    pos = jnp.arange(L) * rate
-    i0 = jnp.clip(pos.astype(jnp.int32), 0, L - 2)
-    frac = (pos - i0).astype(wav.dtype)
-    return wav[..., i0] * (1 - frac) + wav[..., i0 + 1] * frac
+    window = jnp.hanning(n_fft).astype(wav.dtype)
+
+    # analysis STFT
+    F = 1 + (L - n_fft) // hop
+    idx = jnp.arange(n_fft)[None, :] + hop * jnp.arange(F)[:, None]
+    spec = jnp.fft.rfft(wav[..., idx] * window, axis=-1)  # (..., F, K)
+    mags = jnp.abs(spec)
+    phis = jnp.angle(spec)
+    K = spec.shape[-1]
+    omega = 2 * jnp.pi * hop * jnp.arange(K) / n_fft      # per-hop advance
+
+    # 1) phase-vocoder time-STRETCH by `rate` (pitch unchanged): synthesis
+    # frames step through the analysis timeline at stride 1/rate, so for
+    # rate > 1 the stretched signal is LONGER (duration L*rate).
+    M = max(int((F - 1) * rate), 2)
+    pos = jnp.arange(M) / rate
+    i0 = jnp.clip(pos.astype(jnp.int32), 0, F - 2)
+    frac = (pos - i0)[..., None]
+    mag_m = (1 - frac) * mags[..., i0, :] + frac * mags[..., i0 + 1, :]
+    dphi = phis[..., i0 + 1, :] - phis[..., i0, :] - omega
+    dphi = dphi - 2 * jnp.pi * jnp.round(dphi / (2 * jnp.pi))  # wrap
+    advance = omega + dphi                                 # (..., M, K)
+
+    # accumulate phase over synthesis frames
+    phase = jnp.cumsum(advance, axis=-2) - advance + phis[..., 0:1, :]
+    frames = jnp.fft.irfft(mag_m * jnp.exp(1j * phase), n=n_fft,
+                           axis=-1).real * window
+
+    # overlap-add at the same hop -> time-stretched signal y (length ~L*rate)
+    Ly = (M - 1) * hop + n_fft
+    idx_y = jnp.arange(n_fft)[None, :] + hop * jnp.arange(M)[:, None]
+    y = jnp.zeros(wav.shape[:-1] + (Ly,), wav.dtype)
+    y = y.at[..., idx_y].add(frames.astype(wav.dtype))
+    norm = jnp.zeros((Ly,), wav.dtype).at[idx_y.reshape(-1)].add(
+        jnp.tile(window ** 2, (M,)))
+    y = jnp.where(norm >= 1e-1, y / jnp.maximum(norm, 1e-2), 0.0)
+
+    # 2) resample: read y at step `rate` -> length L, duration restored,
+    # pitch multiplied by `rate`.
+    pos_s = jnp.arange(L) * rate
+    i0s = jnp.clip(pos_s.astype(jnp.int32), 0, Ly - 2)
+    fr = (pos_s - i0s).astype(wav.dtype)
+    return y[..., i0s] * (1 - fr) + y[..., i0s + 1] * fr
 
 
 def augment_batch(wav: jax.Array, rng: jax.Array,
