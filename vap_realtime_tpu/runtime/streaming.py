@@ -30,11 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from vap_realtime_tpu.config import VapConfig
-from vap_realtime_tpu.models import objective as obj
 from vap_realtime_tpu.models.encoder import encode_chunk
-from vap_realtime_tpu.models.transformer import (
-    alibi_bias, combinator, mha, transformer_layer,
-)
+from vap_realtime_tpu.models.transformer import alibi_bias, combinator
 from vap_realtime_tpu.models.vap import heads_forward, probs_from_outputs
 
 Params = Dict[str, Any]

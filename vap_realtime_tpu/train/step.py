@@ -44,9 +44,6 @@ def freeze_encoder_mask(params: Params) -> Params:
     """Trainability mask: encoder conv/LSTM frozen, downsample trainable
     (reference freeze: rvap/vap_main/encoder.py:48-51 freezes `encoder.*`
     i.e. the CPC stack, while `downsample` stays trainable)."""
-    def mask(path_is_frozen, tree):
-        return jax.tree_util.tree_map(lambda _: not path_is_frozen, tree)
-
     m = jax.tree_util.tree_map(lambda _: True, params)
     enc = m["encoder"]
     for key in list(enc.keys()):
