@@ -109,9 +109,10 @@ def main():
         "kv_incremental_f32": (kv_step, init_kv_state, params_f32,
                                batches),
     }
-    keep = os.environ.get(
-        "BENCH_VARIANTS",
-        "kv_incremental_bf16,full_recompute_bf16").split(",")
+    # default: only the winning path (remote compiles are slow; the full
+    # matrix is one env var away: BENCH_VARIANTS=...)
+    keep = os.environ.get("BENCH_VARIANTS",
+                          "kv_incremental_bf16").split(",")
     variants = {k: v for k, v in variants.items() if k in keep}
 
     best = 0.0

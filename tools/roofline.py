@@ -27,28 +27,34 @@ import numpy as np  # noqa: E402
 _OVERHEAD = [0.0]  # calibrated fixed per-dispatch overhead (relay RTT)
 
 
-def chain_time(make_step, F=16, reps=2) -> float:
-    """Steady-state seconds per step: one F-length scan per sample minus
-    the calibrated fixed dispatch overhead (one compile per component)."""
+def chain_time(make_step, f_long=16, f_short=4, reps=2) -> float:
+    """Steady-state seconds per step via the difference quotient between
+    two chain lengths (cancels fixed dispatch overhead; same methodology
+    as bench.py)."""
     step = make_step()
 
-    def run(carry):
-        def body(c, _):
-            return step(c), None
-        c, _ = jax.lax.scan(body, carry, None, length=F)
-        return c
+    def runner(F):
+        def run(carry):
+            def body(c, _):
+                return step(c), None
+            c, _ = jax.lax.scan(body, carry, None, length=F)
+            return c
+        return jax.jit(run)
 
-    runj = jax.jit(run)
-    c0 = make_step.init()
-    c = runj(c0)  # compile + warm
-    jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[:1], c)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        c = runj(c0)
+    def timed(F):
+        runj = runner(F)
+        c0 = make_step.init()
+        c = runj(c0)  # compile + warm
         jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[:1], c)
-        best = min(best, time.perf_counter() - t0)
-    return max((best - _OVERHEAD[0]) / F, 1e-9)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            c = runj(c0)
+            jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[:1], c)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((timed(f_long) - timed(f_short)) / (f_long - f_short), 1e-9)
 
 
 class Component:
