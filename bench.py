@@ -131,6 +131,14 @@ def main():
             if streams > best:
                 best, best_desc = streams, f"{name} B={B}"
 
+    if os.environ.get("BENCH_PROFILE"):
+        # one profiled window of the winning path for TensorBoard
+        name, (step, init, params_v, bs) = next(iter(variants.items()))
+        with jax.profiler.trace(os.environ["BENCH_PROFILE"]):
+            measure_path(step, init, params_v, cfg, bs[0], f_short=2,
+                         f_long=6)
+        log(f"profile trace written to {os.environ['BENCH_PROFILE']}")
+
     log(f"best: {best_desc} -> {best:,.0f} streams/chip")
     print(json.dumps({
         "metric": "concurrent_realtime_streams_per_chip",

@@ -46,6 +46,25 @@ def test_static_step_matches_streaming():
     np.testing.assert_allclose(got[-3:], want[-3:], atol=2e-5)
 
 
+def test_dynamic_context_export():
+    """Symbolic-context export serves multiple context lengths."""
+    from tools.export_static import export_artifact
+
+    cfg = VapConfig(frame_hz=20, context_len_sec=2.5)
+    params = jax.tree_util.tree_map(jnp.asarray, synthetic_params(20))
+    exported, _ = export_artifact(params, cfg, dynamic=True)
+    from jax import export as jexport
+
+    rel = jexport.deserialize(exported.serialize())
+    D, S = cfg.dim, cfg.frame_samples
+    for T in (8, 24):
+        out = rel.call(params, jnp.zeros((1, S)), jnp.zeros((1, S)),
+                       jnp.zeros((1, T, D)), jnp.zeros((1, T, D)),
+                       jnp.zeros((2, D)), jnp.zeros((2, D)))
+        p = np.asarray(out[0])
+        assert p.shape == (2,) and abs(p.sum() - 1.0) < 1e-3
+
+
 def test_stablehlo_export_roundtrip(tmp_path):
     from jax import export as jexport
 

@@ -37,12 +37,29 @@ from vap_realtime_tpu.weights.convert import (  # noqa: E402
 )
 
 
-def export_artifact(params, cfg: VapConfig, context_frames: int = 99):
+def export_artifact(params, cfg: VapConfig, context_frames: int = 99,
+                    dynamic: bool = False):
+    """Static-shape export by default; `dynamic=True` exports with a
+    SYMBOLIC context length (the reference also ships a dynamic-axes
+    ONNX export; tools/export_vap_onnx.py:45-60)."""
     from jax import export as jexport
 
     fn, example = make_static_fn(cfg, context_frames)
     params = jax.tree_util.tree_map(jnp.asarray, params)
-    exported = jexport.export(jax.jit(fn))(params, *example)
+    if dynamic:
+        T = jexport.symbolic_shape("T")[0]
+        D, S = cfg.dim, cfg.frame_samples
+        args = (
+            jax.ShapeDtypeStruct((1, S), jnp.float32),
+            jax.ShapeDtypeStruct((1, S), jnp.float32),
+            jax.ShapeDtypeStruct((1, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((2, D), jnp.float32),
+            jax.ShapeDtypeStruct((2, D), jnp.float32),
+        )
+        exported = jexport.export(jax.jit(fn))(params, *args)
+    else:
+        exported = jexport.export(jax.jit(fn))(params, *example)
     return exported, example
 
 
@@ -56,6 +73,8 @@ def main(argv=None):
     ap.add_argument("--context_len_sec", type=float, default=2.5)
     ap.add_argument("--context_frames", type=int, default=99,
                     help="static context length (reference export: 99)")
+    ap.add_argument("--dynamic", action="store_true",
+                    help="export with a symbolic context length")
     ap.add_argument("--out", default="vap_static")
     ap.add_argument("--benchmark", action="store_true")
     ap.add_argument("--bench_runs", type=int, default=10)
@@ -75,7 +94,8 @@ def main(argv=None):
         ap.error("need weights (--checkpoint_npz / --vap_model+--cpc_model"
                  " / --synthetic_weights)")
 
-    exported, example = export_artifact(params, cfg, args.context_frames)
+    exported, example = export_artifact(params, cfg, args.context_frames,
+                                        dynamic=args.dynamic)
     blob = exported.serialize()
     with open(args.out + ".stablehlo", "wb") as f:
         f.write(blob)
