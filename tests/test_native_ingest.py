@@ -1,0 +1,152 @@
+"""Native C++ ingestion engine + native-backed batched server."""
+
+import os
+import socket
+import subprocess
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from vap_realtime_tpu.config import VapConfig
+from vap_realtime_tpu.io import wire
+from vap_realtime_tpu.weights.synthetic import synthetic_audio, synthetic_params
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def lib():
+    r = subprocess.run(
+        ["python", os.path.join(REPO, "tools", "build_native.py")],
+        capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"native build failed: {r.stderr[-400:]}")
+    from vap_realtime_tpu.io.native_ingest import NativeIngest
+    return NativeIngest
+
+
+def _stream_client(port, audio, n_hops, out_results=None, n_results=0,
+                   hop_sleep=0.002):
+    with socket.create_connection(("127.0.0.1", port), timeout=15) as s:
+        got = 0
+        for h in range(n_hops):
+            s.sendall(wire.conv_2floatarray_2_bytearray(
+                audio[0, h * 160:(h + 1) * 160],
+                audio[1, h * 160:(h + 1) * 160]))
+            time.sleep(hop_sleep)
+            if out_results is not None and got < n_results and \
+                    (h + 1) % 5 == 0:
+                s.settimeout(15)
+                out_results.append(wire.deserialize_result(
+                    wire.read_framed(s), "vap"))
+                got += 1
+
+
+def test_frame_assembly_and_generations(lib):
+    ing = lib(port=0, capacity=8, frame_samples=1120)
+    audio = synthetic_audio(16000).astype(np.float64)
+    t = threading.Thread(target=_stream_client,
+                         args=(ing.port, audio, 25), daemon=True)
+    t.start()
+
+    got = []
+    deadline = time.time() + 10
+    while len(got) < 5 and time.time() < deadline:
+        slots, frames = ing.poll()
+        for sl in slots:
+            got.append((sl, frames[sl].copy()))
+        time.sleep(0.002)
+    t.join(timeout=5)
+    assert len(got) == 5
+    sl0, f0 = got[0]
+    assert np.abs(f0[:, :320]).max() == 0.0        # zero left-context
+    np.testing.assert_allclose(f0[0, 320:], audio[0, :800], atol=1e-6)
+    # frame 2 starts 800 samples in, prefixed by the last 320 overlap
+    _, f1 = got[1]
+    np.testing.assert_allclose(f1[0], audio[0, 480:1600], atol=1e-6)
+
+    gen_before = ing.generation(sl0)
+    assert gen_before >= 1
+    # wait for the disconnect to free the slot, then reconnect: the
+    # generation must bump (slot reuse detection)
+    deadline = time.time() + 3
+    while ing.n_active > 0 and time.time() < deadline:
+        time.sleep(0.02)
+    t2 = threading.Thread(target=_stream_client,
+                          args=(ing.port, audio, 6), daemon=True)
+    t2.start()
+    t2.join(timeout=5)
+    deadline = time.time() + 3
+    while ing.generation(sl0) == gen_before and time.time() < deadline:
+        time.sleep(0.02)
+    assert ing.generation(sl0) == gen_before + 1
+    ing.close()
+
+
+def test_int16_wire(lib):
+    ing = lib(port=0, capacity=4, frame_samples=1120, wire_int16=True)
+    audio = synthetic_audio(16000)
+    pcm = np.clip(audio * 32768, -32768, 32767).astype("<i2")
+    with socket.create_connection(("127.0.0.1", ing.port), timeout=10) as s:
+        for h in range(6):
+            pair = np.empty((160, 2), "<i2")
+            pair[:, 0] = pcm[0, h * 160:(h + 1) * 160]
+            pair[:, 1] = pcm[1, h * 160:(h + 1) * 160]
+            s.sendall(pair.tobytes())
+            time.sleep(0.002)
+        deadline = time.time() + 5
+        slots = []
+        while not slots and time.time() < deadline:
+            slots, frames = ing.poll()
+            time.sleep(0.002)
+    assert slots
+    np.testing.assert_allclose(frames[slots[0]][0, 320:],
+                               audio[0, :800], atol=1.0 / 32768)
+    ing.close()
+
+
+def test_native_server_end_to_end(lib):
+    """Two clients through the native server: correct, independent
+    results; matches the Python batched server's math."""
+    from vap_realtime_tpu.runtime.arena import StreamArena
+    from vap_realtime_tpu.runtime.server_native import NativeVapServer
+
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    arena = StreamArena(cfg, synthetic_params(20), capacity=4, path="kv")
+    arena.warmup()
+    server = NativeVapServer(arena, mode="vap", port=0)
+    ticker = threading.Thread(target=server.serve_forever, daemon=True)
+    ticker.start()
+
+    audio = synthetic_audio(16000 * 2).astype(np.float64)
+    r1: list = []
+    r2: list = []
+    # realtime pacing (10 ms/hop) so the 50 ms arena tick never drops
+    t1 = threading.Thread(target=_stream_client,
+                          args=(server.port, audio, 40, r1, 4, 0.01),
+                          daemon=True)
+    t2 = threading.Thread(target=_stream_client,
+                          args=(server.port, audio, 40, r2, 4, 0.01),
+                          daemon=True)
+    t1.start()
+    time.sleep(0.15)
+    t2.start()
+    t1.join(timeout=30)
+    t2.join(timeout=30)
+    server.stop()
+
+    assert len(r1) == 4 and len(r2) == 4
+    # frame ALIGNMENT is exact: result i's audio payload is frame i
+    for i, (a, b) in enumerate(zip(r1, r2)):
+        np.testing.assert_allclose(
+            a["x1"], audio[0, i * 800:(i + 1) * 800], atol=1e-9)
+        np.testing.assert_allclose(
+            b["x1"], audio[0, i * 800:(i + 1) * 800], atol=1e-9)
+    # values: late joiners sit at a different circular-cache phase,
+    # which reorders attention summation -> up to ~1e-4 fp32 noise
+    for a, b in zip(r1, r2):
+        np.testing.assert_allclose(a["p_now"], b["p_now"], atol=5e-4)
+    assert len(r1[0]["x1"]) == cfg.frame_shift
+    np.testing.assert_allclose(r1[0]["x1"], audio[0, :800], atol=1e-6)

@@ -173,6 +173,9 @@ def main():
     peak = measure_peak(dtype)
     print(f"device: {jax.devices()[0]}  measured matmul peak: "
           f"{peak/1e12:.0f} TFLOP/s ({args.dtype})")
+    print("NOTE: through a shared dev relay these component numbers can "
+          "vary run-to-run by >5x; trust them only on directly attached "
+          "hardware (bench.py's long end-to-end chains are more stable).")
     print(f"{'component':<16} {'ms/step':>9} {'TFLOP/s':>9} "
           f"{'% peak':>7} {'GB/s':>8}")
 

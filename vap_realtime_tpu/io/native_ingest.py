@@ -1,0 +1,105 @@
+"""ctypes binding for the native stream-ingestion engine (native/ingest.cpp).
+
+Usage:
+    ing = NativeIngest(port=0, capacity=4096, frame_samples=1120)
+    ...
+    slots, frames = ing.poll()      # frames: (capacity, 2, S) float32 view
+    ing.send(slot, payload_bytes)   # queue a result to that connection
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def _load_lib():
+    lib_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "native", "libvapingest.so")
+    if not os.path.exists(lib_path):
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(lib_path)))
+        from tools.build_native import build
+        lib_path = build()
+    lib = ctypes.CDLL(lib_path)
+    lib.vap_ingest_create.restype = ctypes.c_void_p
+    lib.vap_ingest_create.argtypes = [ctypes.c_uint16, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int]
+    lib.vap_ingest_port.restype = ctypes.c_uint16
+    lib.vap_ingest_port.argtypes = [ctypes.c_void_p]
+    lib.vap_ingest_active.restype = ctypes.c_int
+    lib.vap_ingest_active.argtypes = [ctypes.c_void_p]
+    lib.vap_ingest_poll.restype = ctypes.c_int
+    lib.vap_ingest_poll.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+    lib.vap_ingest_send.restype = ctypes.c_int
+    lib.vap_ingest_send.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_char_p, ctypes.c_int]
+    lib.vap_ingest_gen.restype = ctypes.c_uint32
+    lib.vap_ingest_gen.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.vap_ingest_destroy.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+class NativeIngest:
+    def __init__(self, port: int = 0, capacity: int = 1024,
+                 frame_samples: int = 1120, wire_int16: bool = False):
+        self._lib = _load_lib()
+        self._h = self._lib.vap_ingest_create(
+            port, capacity, frame_samples, int(wire_int16))
+        if not self._h:
+            raise OSError(f"vap_ingest_create failed (port {port})")
+        self.capacity = capacity
+        self.frame_samples = frame_samples
+        self.port = int(self._lib.vap_ingest_port(self._h))
+        self._frames = np.zeros((capacity, 2, frame_samples), np.float32)
+        self._slots = np.zeros((capacity,), np.int32)
+
+    @property
+    def n_active(self) -> int:
+        if not self._h:
+            return 0
+        return int(self._lib.vap_ingest_active(self._h))
+
+    def poll(self) -> Tuple[List[int], np.ndarray]:
+        """Drain completed frames (at most one per slot per call).
+        Returns (ready slot ids, the slot-major (capacity, 2,
+        frame_samples) frame array — rows for slots NOT in the ready
+        list are stale)."""
+        if not self._h:
+            return [], self._frames
+        n = self._lib.vap_ingest_poll(
+            self._h,
+            self._frames.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            self.capacity)
+        return self._slots[:n].tolist(), self._frames
+
+    def send(self, slot: int, payload: bytes) -> int:
+        if not self._h:
+            return -1
+        return self._lib.vap_ingest_send(self._h, slot, payload,
+                                         len(payload))
+
+    def generation(self, slot: int) -> int:
+        """Per-slot allocation counter — compare across polls to detect
+        a disconnected slot being reused by a NEW connection."""
+        if not self._h:
+            return 0
+        return int(self._lib.vap_ingest_gen(self._h, slot))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.vap_ingest_destroy(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

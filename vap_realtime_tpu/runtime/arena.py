@@ -85,6 +85,12 @@ class StreamArena:
             if self._active.pop(slot, None) is not None:
                 self._free.append(slot)
 
+    def reset_slot(self, slot: int) -> None:
+        """Reset a slot's stream state WITHOUT touching the free list —
+        for external slot managers (native ingest engine) that own the
+        slot lifecycle themselves."""
+        self.state = self._reset(self.state, jnp.asarray(slot))
+
     # --- stepping ----------------------------------------------------------
 
     def warmup(self) -> None:

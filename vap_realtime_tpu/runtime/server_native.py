@@ -1,0 +1,132 @@
+"""Native-ingest batched server — C++ epoll IO + one jitted dispatch/tick.
+
+Same protocol as runtime/server_batched.py (connection == stream, hop
+packets in, length-prefixed results back on the same socket) but ALL
+socket work happens in native/ingest.cpp: Python touches one ctypes poll
+per tick and one arena dispatch, so stream count is bounded by the chip,
+not the interpreter.  Slot lifecycle is driven by the engine's per-slot
+generation counters (reuse -> arena state reset).
+
+Run: python -m vap_realtime_tpu.runtime.server_native \
+        --checkpoint_npz w.npz --port 50011 --capacity 4096 --bf16
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Optional
+
+import numpy as np
+
+from vap_realtime_tpu.config import FRAME_CONTEXT_PADDING, VapConfig
+from vap_realtime_tpu.io import wire
+from vap_realtime_tpu.io.native_ingest import NativeIngest
+from vap_realtime_tpu.runtime.arena import StreamArena
+from vap_realtime_tpu.runtime.server import RESULT_KEYS
+
+
+class NativeVapServer:
+    def __init__(self, arena: StreamArena, mode: str = "vap",
+                 port: int = 50011, wire_int16: bool = False):
+        self.arena = arena
+        self.mode = mode
+        self.ingest = NativeIngest(port, arena.capacity,
+                                   arena.cfg.frame_samples, wire_int16)
+        self.port = self.ingest.port
+        self._gens = np.zeros((arena.capacity,), np.int64)
+        self._stop = False
+        self.frames_served = 0
+
+    def tick(self) -> int:
+        """One serving tick: drain ready frames, detect slot reuse, run
+        one arena dispatch, queue results.  Returns #streams served."""
+        slots, frames = self.ingest.poll()
+        if not slots:
+            return 0
+        for sl in slots:
+            gen = self.ingest.generation(sl)
+            if gen != self._gens[sl]:
+                self.arena.reset_slot(sl)
+                self._gens[sl] = gen
+        chunks = {sl: frames[sl] for sl in slots}
+        results = self.arena.step(chunks)
+        t = time.time()
+        pad = FRAME_CONTEXT_PADDING
+        for sl, r in results.items():
+            payload = {"t": t, "x1": frames[sl, 0, pad:],
+                       "x2": frames[sl, 1, pad:]}
+            for key in RESULT_KEYS[self.mode]:
+                payload[key] = np.atleast_1d(r[key])
+            self.ingest.send(sl, wire.frame_result(
+                wire.serialize_result(payload, self.mode)))
+        self.frames_served += len(slots)
+        return len(slots)
+
+    def serve_forever(self):
+        period = 1.0 / self.arena.cfg.frame_hz
+        next_t = time.time()
+        try:
+            while not self._stop:
+                now = time.time()
+                if now < next_t:
+                    time.sleep(min(next_t - now, 0.005))
+                    continue
+                next_t += period
+                self.tick()
+        finally:
+            # the engine must be destroyed by the loop that uses it —
+            # closing from another thread mid-tick is a use-after-free
+            self.ingest.close()
+            self._stopped = True
+
+    def stop(self, timeout: float = 5.0):
+        self._stop = True
+        deadline = time.time() + timeout
+        while not getattr(self, "_stopped", False) and time.time() < deadline:
+            time.sleep(0.01)
+
+
+def main(argv: Optional[list] = None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--vap_model", default=None)
+    ap.add_argument("--cpc_model", default=None)
+    ap.add_argument("--checkpoint_npz", default=None)
+    ap.add_argument("--synthetic_weights", action="store_true")
+    ap.add_argument("--port", type=int, default=50011)
+    ap.add_argument("--capacity", type=int, default=1024)
+    ap.add_argument("--vap_process_rate", type=int, default=20)
+    ap.add_argument("--context_len_sec", type=float, default=2.5)
+    ap.add_argument("--mode", choices=["vap", "bc", "nod"], default="vap")
+    ap.add_argument("--engine_path", choices=["full", "kv"], default="kv")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--wire_int16", action="store_true",
+                    help="accept int16 hop packets (4x lower bandwidth)")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    cfg = VapConfig(frame_hz=args.vap_process_rate,
+                    context_len_sec=args.context_len_sec, mode=args.mode)
+    if args.synthetic_weights:
+        from vap_realtime_tpu.weights.synthetic import synthetic_params
+        params = synthetic_params(cfg.frame_hz, mode=args.mode)
+    elif args.checkpoint_npz:
+        from vap_realtime_tpu.weights.convert import load_pytree_npz
+        params = load_pytree_npz(args.checkpoint_npz)
+    else:
+        from vap_realtime_tpu.weights.convert import load_torch_checkpoint
+        params = load_torch_checkpoint(args.vap_model, args.cpc_model)
+
+    arena = StreamArena(cfg, params, capacity=args.capacity,
+                        path=args.engine_path,
+                        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    arena.warmup()
+    server = NativeVapServer(arena, mode=args.mode, port=args.port,
+                             wire_int16=args.wire_int16)
+    print(f"[NATIVE] capacity {args.capacity} at 127.0.0.1:{server.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
