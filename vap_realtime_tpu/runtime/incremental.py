@@ -150,17 +150,24 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
         ko, vo = offset[k_name], offset[v_name]
         k_old = state.cache[:, :, ko:ko + D]                 # (B, T, D)
         v_old = state.cache[:, :, vo:vo + D]
-        qh = q.reshape(B, H, Dh).astype(jnp.float32)
-        kh = k_old.reshape(B, T, H, Dh).astype(jnp.float32)
+        # stay in the state dtype (bf16 in serving) — the dots accumulate
+        # in fp32 via preferred_element_type; softmax runs in fp32
+        qh = q.reshape(B, H, Dh).astype(dtype)
+        kh = k_old.reshape(B, T, H, Dh)
         scale = 1.0 / math.sqrt(D)
-        s_old = jnp.einsum("bhd,bthd->bht", qh, kh) * scale + bias_old
-        s_cur = (jnp.sum(qh * k_cur.reshape(B, H, Dh), axis=-1,
+        s_old = jnp.einsum("bhd,bthd->bht", qh, kh,
+                           preferred_element_type=jnp.float32)
+        s_old = s_old * scale + bias_old
+        s_cur = (jnp.sum((qh * k_cur.reshape(B, H, Dh)
+                          ).astype(jnp.float32), axis=-1,
                          keepdims=True) * scale)             # (B, H, 1)
         s_all = jnp.concatenate([s_old, s_cur], axis=-1)     # (B, H, T+1)
         w = jax.nn.softmax(s_all, axis=-1)
-        vh = v_old.reshape(B, T, H, Dh).astype(jnp.float32)
-        out = (jnp.einsum("bht,bthd->bhd", w[:, :, :T], vh)
-               + w[:, :, T:] * v_cur.reshape(B, H, Dh).astype(jnp.float32))
+        vh = v_old.reshape(B, T, H, Dh)
+        out = (jnp.einsum("bht,bthd->bhd", w.astype(dtype)[:, :, :T], vh,
+                          preferred_element_type=jnp.float32)
+               + w[:, :, T:] * v_cur.reshape(B, H, Dh)
+               .astype(jnp.float32))
         return out.reshape(B, D).astype(dtype)
 
     def self_attn(x, layer, k_name, v_name):
