@@ -1,0 +1,185 @@
+"""Component-level timing of the kv serving step on the real chip.
+
+Breaks the winning serving path (kv_incremental bf16, B=4096) into its
+stages and times each with the same long/short-chain difference-quotient
+methodology as bench.py (ARCHITECTURE.md "Performance methodology"), so
+the relay's fixed dispatch+readback overhead cancels.
+
+Also benchmarks an im2col/matmul reformulation of the CPC conv stack
+(`conv1d_im2col`) against the `lax.conv_general_dilated` path to check
+whether XLA's conv lowering reaches MXU speed-of-light at these shapes.
+
+Run (real TPU): python tools/component_bench.py [--batch 4096]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timed_scan(make_body, init_carry, f_short=4, f_long=24, reps=2):
+    """Seconds per iteration of body via long/short chain difference."""
+
+    def runner(F):
+        @jax.jit
+        def run(carry):
+            def body(c, _):
+                return make_body(c), None
+            c, _ = jax.lax.scan(body, carry, None, length=F)
+            return jax.tree_util.tree_reduce(
+                lambda a, x: a + jnp.sum(x).astype(jnp.float32),
+                c, jnp.float32(0))
+        return run
+
+    def t(F):
+        run = runner(F)
+        _ = float(run(init_carry))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = float(run(init_carry))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((t(f_long) - t(f_short)) / (f_long - f_short), 1e-9)
+
+
+def conv1d_im2col(x, w, b, stride: int, padding: int):
+    """conv1d re-expressed as patch-extract + ONE matmul.
+
+    x: (B, C_in, L); w: (C_out, C_in, K).  Patches go channels-last so the
+    contraction is a plain (B*L_out, C_in*K) x (C_in*K, C_out) MXU matmul.
+    """
+    k = w.shape[-1]
+    patches = jax.lax.conv_general_dilated_patches(
+        x, (k,), (stride,), [(padding, padding)],
+        dimension_numbers=("NCH", "OIH", "NCH"))  # (B, C_in*K, L_out)
+    pt = jnp.swapaxes(patches, 1, 2)              # (B, L_out, C_in*K)
+    wm = w.reshape(w.shape[0], -1).T              # (C_in*K, C_out)
+    y = jnp.matmul(pt, wm, preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype) + b                     # b: (C_out,), last axis
+    return jnp.swapaxes(y, 1, 2)                  # (B, C_out, L_out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--stages", default="all",
+                    help="comma list: step,encoder,conv,conv_im2col,lstm,trunk")
+    args = ap.parse_args()
+
+    from vap_realtime_tpu.config import VapConfig
+    from vap_realtime_tpu.models.encoder import (
+        CPC_CONV_SPECS, cpc_conv_stack, encode_chunk,
+    )
+    from vap_realtime_tpu.ops.basic import channel_norm, lstm
+    from vap_realtime_tpu.runtime.incremental import init_kv_state, kv_step
+    from vap_realtime_tpu.weights.synthetic import synthetic_params
+
+    cfg = VapConfig(frame_hz=20, context_len_sec=2.5)
+    B = args.batch
+    B2 = B * 2
+    stages = args.stages.split(",") if args.stages != "all" else [
+        "step", "encoder", "conv", "conv_im2col", "lstm", "trunk"]
+
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x).astype(jnp.bfloat16), synthetic_params(20))
+    enc = params["encoder"]
+    rng = np.random.RandomState(0)
+    chunk = jnp.asarray(rng.randn(B, 2, cfg.frame_samples)
+                        .astype(np.float32) * 0.1).astype(jnp.bfloat16)
+    log(f"device: {jax.devices()[0]}  B={B}  frame={cfg.frame_samples}")
+
+    results = {}
+
+    if "step" in stages:
+        state0 = init_kv_state(cfg, B, dtype=jnp.bfloat16)
+
+        def body(carry):
+            st, ch = carry
+            st, out = kv_step(params, st, ch, cfg)
+            ch = ch * 0.999 + 1e-4 * jnp.sum(out["p_now"]).astype(ch.dtype)
+            return (st, ch)
+        results["step"] = timed_scan(body, (state0, chunk))
+        log(f"full kv_step:        {results['step']*1e3:8.2f} ms")
+
+    if "encoder" in stages:
+        flat = chunk.reshape(B2, -1)
+        h0 = jnp.zeros((B2, cfg.dim), jnp.bfloat16)
+
+        def body(carry):
+            ch, h, c = carry
+            e, h2, c2 = encode_chunk(enc, ch, h, c, cfg.downsample_kernel)
+            ch = ch * 0.999 + 1e-4 * jnp.sum(e).astype(ch.dtype)
+            return (ch, h2, c2)
+        results["encoder"] = timed_scan(body, (flat, h0, h0))
+        log(f"encoder (conv+lstm+ds): {results['encoder']*1e3:6.2f} ms")
+
+    if "conv" in stages:
+        flat = chunk.reshape(B2, -1)
+
+        def body(ch):
+            z = cpc_conv_stack(enc, ch)
+            return ch * 0.999 + 1e-4 * jnp.sum(z).astype(ch.dtype)
+        results["conv"] = timed_scan(body, flat)
+        log(f"conv stack (XLA conv): {results['conv']*1e3:7.2f} ms")
+
+    if "conv_im2col" in stages:
+        flat = chunk.reshape(B2, -1)
+
+        def stack_im2col(x):
+            x = x[:, None, :]
+            for i, (k, s, p) in enumerate(CPC_CONV_SPECS):
+                c, n = enc[f"conv{i}"], enc[f"norm{i}"]
+                x = conv1d_im2col(x, c["w"], c["b"], s, p)
+                x = channel_norm(x, n["w"], n["b"])
+                x = jax.nn.relu(x)
+            return x
+
+        def body(ch):
+            z = stack_im2col(ch)
+            return ch * 0.999 + 1e-4 * jnp.sum(z).astype(ch.dtype)
+        results["conv_im2col"] = timed_scan(body, flat)
+        log(f"conv stack (im2col):   {results['conv_im2col']*1e3:7.2f} ms")
+
+    if "lstm" in stages:
+        n_cpc = cfg.frame_samples // 160 - 2
+        z = jnp.asarray(rng.randn(B2, n_cpc, cfg.dim)
+                        .astype(np.float32)).astype(jnp.bfloat16)
+        g = enc["lstm"]
+        h0 = jnp.zeros((B2, cfg.dim), jnp.bfloat16)
+
+        def body(carry):
+            zz, h, c = carry
+            y, h2, c2 = lstm(zz, h, c, g["w_ih"], g["w_hh"],
+                             g["b_ih"], g["b_hh"])
+            zz = zz * 0.999 + 1e-4 * jnp.sum(y).astype(zz.dtype)
+            return (zz, h2, c2)
+        results["lstm"] = timed_scan(body, (z, h0, h0))
+        log(f"lstm ({n_cpc} steps):      {results['lstm']*1e3:8.2f} ms")
+
+    if "trunk" in stages and "step" in results and "encoder" in results:
+        results["trunk"] = results["step"] - results["encoder"]
+        log(f"trunk (attn+ffn+heads, by difference): "
+            f"{results['trunk']*1e3:.2f} ms")
+
+    log("---")
+    for k, v in results.items():
+        log(f"{k:14s} {v*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

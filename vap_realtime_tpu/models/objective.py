@@ -138,6 +138,48 @@ def loss_vad(vad_logits: jax.Array, vad: jax.Array) -> jax.Array:
         + jnp.log1p(jnp.exp(-jnp.abs(vad_logits))))
 
 
+def get_labels_bc(bc_frame: jax.Array, frame_hz: int,
+                  shift_sec: float = 0.5,
+                  append_sec: float = 2.0) -> jax.Array:
+    """Backchannel labels: shift the per-frame bc-activity track
+    `shift_sec` into the future (the model predicts a bc happening 0.5 s
+    ahead), truncated to N - append frames; the last `shift` outputs have
+    no future signal and stay 0 (rvap/vap_bc/objective.py:216-236 — the
+    nod variant is byte-identical).
+
+    bc_frame: (B, N) -> (B, N - append_sec*frame_hz).
+    """
+    shift = int(shift_sec * frame_hz)
+    append = int(append_sec * frame_hz)
+    body = bc_frame[:, shift:bc_frame.shape[1] - append]
+    tail = jnp.zeros((bc_frame.shape[0], shift), bc_frame.dtype)
+    return jnp.concatenate([body, tail], axis=1)
+
+
+def loss_bc(bc_logits: jax.Array, bc_labels: jax.Array,
+            pos_weight: float = 1.0) -> jax.Array:
+    """BCE-with-logits with a positive-class weight
+    (rvap/vap_bc/objective.py:295-296, torch `pos_weight` semantics:
+    ``-(pw*y*log σ(x) + (1-y)*log(1-σ(x)))``, mean-reduced)."""
+    nmax = min(bc_logits.shape[-1], bc_labels.shape[-1])
+    x = bc_logits[..., :nmax]
+    y = bc_labels[..., :nmax]
+    return -jnp.mean(pos_weight * y * jax.nn.log_sigmoid(x)
+                     + (1.0 - y) * jax.nn.log_sigmoid(-x))
+
+
+def loss_vad_mono(vad_logits: jax.Array, vad: jax.Array) -> jax.Array:
+    """Mono-channel VAD BCE: squeezed logits vs channel-1 (the user
+    channel) VAD (rvap/vap_bc/objective.py:302-308)."""
+    n = vad_logits.shape[-2]
+    return loss_bc(jnp.squeeze(vad_logits, axis=-1), vad[:, :n, 1])
+
+
+# loss_lid is token-for-token the same CE as loss_vap in the reference
+# (rvap/vap_bc/objective.py:269-291); alias rather than duplicate.
+loss_lid = loss_vap
+
+
 def bin_times_to_frames(bin_times: Sequence[float],
                         frame_hz: int) -> List[int]:
     return [int(t * frame_hz) for t in bin_times]

@@ -37,7 +37,37 @@ def compute_loss(params: Params, batch: Dict[str, jax.Array], cfg: VapConfig,
     vad_logits = jnp.concatenate([outs["vad1"], outs["vad2"]], axis=-1)
     l_vad = obj.loss_vad(vad_logits, batch["vad"])
     loss = l_vap + l_vad
-    return loss, {"loss": loss, "loss_vap": l_vap, "loss_vad": l_vad}
+    metrics = {"loss_vap": l_vap, "loss_vad": l_vad}
+
+    # Head fine-tuning terms for the bc/nod variants.  The reference ships
+    # the objective functions (rvap/vap_bc/objective.py:216-308) but not a
+    # bc/nod trainer; wiring: each extra label track present in the batch
+    # adds its head's loss on top of the trunk loss.
+    if cfg.mode == "bc" and "bc_class" in batch:
+        # 3-class head (none / react continuer / emo assessment),
+        # CE like loss_lid (rvap/vap_bc/vap_bc_main.py:137,272-284)
+        l_bc = obj.loss_lid(outs["bc_logits"], batch["bc_class"])
+        loss = loss + l_bc
+        metrics["loss_bc"] = l_bc
+    elif cfg.mode == "nod":
+        if "nod_class" in batch:
+            l_nod = obj.loss_lid(outs["nod_logits"], batch["nod_class"])
+            loss = loss + l_nod
+            metrics["loss_nod"] = l_nod
+        if "bc_frame" in batch:
+            bc_labels = obj.get_labels_bc(batch["bc_frame"], cfg.frame_hz)
+            l_bc = obj.loss_bc(jnp.squeeze(outs["bc_logits"], -1), bc_labels)
+            loss = loss + l_bc
+            metrics["loss_bc"] = l_bc
+    if cfg.lid_classify > 0 and "lid_class" in batch:
+        key = ("lid_logits" if cfg.lid_classify == 1
+               else "lid_middle_logits")
+        l_lid = obj.loss_lid(outs[key], batch["lid_class"])
+        loss = loss + l_lid
+        metrics["loss_lid"] = l_lid
+
+    metrics["loss"] = loss
+    return loss, metrics
 
 
 def freeze_encoder_mask(params: Params) -> Params:
