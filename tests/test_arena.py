@@ -57,6 +57,45 @@ def test_arena_isolation_and_reuse(arena_cfg):
         np.testing.assert_allclose(a, c, atol=1e-5)
 
 
+@pytest.mark.parametrize("path", ["kv", "full"])
+def test_arena_frozen_slots_interleave_invariance(arena_cfg, path):
+    """A stream's trajectory depends ONLY on its own frame sequence —
+    ticks where it has no ready frame (slot frozen) must not perturb it.
+
+    Regression for the silence-advance bug: slots without a fresh frame
+    used to step on zeros, so results depended on tick/packet timing."""
+    cfg = arena_cfg
+    params = synthetic_params(20)
+    audio = synthetic_audio(16000 * 2)
+    frames = _frames(audio, cfg)
+
+    # reference trajectory: stream alone, one frame per tick
+    arena_ref = StreamArena(cfg, params, capacity=4, path=path)
+    r = arena_ref.add_stream()
+    ref = [arena_ref.step({r: frames[i]})[r]["p_now"] for i in range(6)]
+
+    # jittery trajectory: same frames, but the stream skips ticks while
+    # another stream keeps the arena stepping
+    arena = StreamArena(cfg, params, capacity=4, path=path)
+    s0 = arena.add_stream()
+    s1 = arena.add_stream()
+    got = []
+    i = j = 0
+    #           s0 ticks   s1 ticks (skips 2 of every 3)
+    for tick in range(18):
+        chunks = {s0: frames[i % len(frames)]}
+        if tick % 3 == 2 and j < 6:
+            chunks[s1] = frames[j]
+        res = arena.step(chunks)
+        i += 1
+        if s1 in res:
+            got.append(res[s1]["p_now"])
+            j += 1
+    assert len(got) == 6
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_arena_capacity(arena_cfg):
     arena = StreamArena(arena_cfg, synthetic_params(20), capacity=2)
     a = arena.add_stream()

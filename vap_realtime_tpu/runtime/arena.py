@@ -29,10 +29,11 @@ def _reset_slot(state, idx: jax.Array):
     """Zero one slot's recurrent state + validity counter (jit-friendly)."""
     if isinstance(state, incremental.KVState):
         return incremental.KVState(
-            cache=state.cache,  # stale rows masked by count
+            cache=state.cache,  # stale rows masked by stamp
             lstm_h=state.lstm_h.at[idx].set(0.0),
             lstm_c=state.lstm_c.at[idx].set(0.0),
             count=state.count.at[idx].set(0),
+            stamp=state.stamp.at[idx].set(-1),
             step=state.step,
         )
     return streaming.StreamState(
@@ -94,22 +95,29 @@ class StreamArena:
     # --- stepping ----------------------------------------------------------
 
     def warmup(self) -> None:
+        # all-frozen step: compiles + warms without advancing any stream
         st, out = self._step(self.params, self.state,
-                             jnp.asarray(self._zero), self.cfg)
+                             jnp.asarray(self._zero), self.cfg,
+                             jnp.zeros((self.capacity,), bool))
         jax.block_until_ready(out)
 
     def step(self, chunks: Dict[int, np.ndarray]) -> Dict[int, Dict]:
         """chunks: {slot: (2, frame_samples)} for streams with a fresh
-        frame this tick; other active slots advance on silence.
+        frame this tick; all other slots are FROZEN (state untouched),
+        so a stream's results depend only on its own frame sequence —
+        never on tick/packet interleaving across streams.
 
         Returns {slot: {output_name: np.ndarray}} for the slots in
         `chunks`.
         """
         batch = self._zero.copy()
+        act = np.zeros((self.capacity,), bool)
         for slot, chunk in chunks.items():
             batch[slot] = chunk
+            act[slot] = True
         self.state, out = self._step(self.params, self.state,
-                                     jnp.asarray(batch), self.cfg)
+                                     jnp.asarray(batch), self.cfg,
+                                     jnp.asarray(act))
         out_np = {k: np.asarray(v) for k, v in out.items()}
         return {slot: {k: v[slot] for k, v in out_np.items()}
                 for slot in chunks}

@@ -71,20 +71,26 @@ class KVState:
 
     cache:  (B, T, n_slots*D) — all K/V vectors, written once per frame.
     lstm_h/lstm_c: (B, 2, D) encoder context-net state.
-    count:  (B,) frames seen per stream (drives validity masks only).
+    count:  (B,) frames seen per stream (each stream's OWN frame index).
+    stamp:  (B, T) int32 — per stream, the value of `count` when that
+            cache row was written, or -1 for an invalid row.  Attention
+            ages are `count - stamp`: exact in each stream's own frame
+            timeline even when streams tick at different rates in a
+            shared arena (a frozen stream's rows do not age).
     step:   () GLOBAL frame counter — all streams in an arena step
             together, so the circular write slot is the scalar
             ``step % T``: the cache write is one contiguous
             dynamic_update_slice instead of a per-stream scatter (TPU
             scatter over a batch of rows serializes catastrophically).
-            A stream (re)joining a slot just resets its `count`; its
-            stale cache rows are masked out by the age/validity test.
+            A stream (re)joining a slot resets its `count` and its
+            `stamp` row; stale cache rows are masked by the stamp test.
     """
 
     cache: jax.Array
     lstm_h: jax.Array
     lstm_c: jax.Array
     count: jax.Array
+    stamp: jax.Array
     step: jax.Array
 
 
@@ -97,16 +103,23 @@ def init_kv_state(cfg: VapConfig, batch: int = 1,
         lstm_h=jnp.zeros((batch, 2, D), dtype),
         lstm_c=jnp.zeros((batch, 2, D), dtype),
         count=jnp.zeros((batch,), jnp.int32),
+        stamp=jnp.full((batch, T), -1, jnp.int32),
         step=jnp.zeros((), jnp.int32),
     )
 
 
 def kv_step(params: Params, state: KVState, chunk: jax.Array,
-            cfg: VapConfig) -> Tuple[KVState, Dict[str, jax.Array]]:
+            cfg: VapConfig, active: jax.Array | None = None
+            ) -> Tuple[KVState, Dict[str, jax.Array]]:
     """One incremental frame: chunk (B, 2, frame_samples) -> probabilities.
 
     Mirrors the trunk order of VAPRealTime.process_vap (vap_main.py:272-307)
     but touches only the newest position.
+
+    active: optional (B,) bool — streams with no fresh frame this tick
+    are FROZEN: their recurrent state, frame count and cached rows are
+    unchanged (their outputs are garbage and must be ignored by the
+    caller).  Default: all active.
     """
     B = chunk.shape[0]
     D, T, H = cfg.dim, cfg.context_frames, cfg.num_heads
@@ -114,6 +127,8 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
     layout = cache_layout(cfg)
     offset = {name: i * D for i, name in enumerate(layout)}
     dtype = state.cache.dtype
+    if active is None:
+        active = jnp.ones((B,), bool)
 
     # --- encoder (both channels as one batch) ---
     flat = chunk.reshape(B * 2, -1)
@@ -123,19 +138,19 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
     e = e.reshape(B, 2, D).astype(dtype)
 
     # ages of cached rows relative to the current frame (age 0 = current,
-    # written at the END of this step).  The write slot is GLOBAL:
-    # slot s holds age ((g-1-s) mod T)+1 where g = state.step.
+    # written at the END of this step), measured in each stream's OWN
+    # frame timeline via the stamps: age = count - stamp.  A row is live
+    # iff its stamp is valid AND it is within the last T-1 own frames.
     g = state.step                                # () global frame index
-    s_idx = jnp.arange(T)
-    age = ((g - 1 - s_idx) % T) + 1               # (T,) in 1..T
+    age = state.count[:, None] - state.stamp      # (B, T)
     max_age = jnp.minimum(state.count, T - 1)     # (B,) live: age<=max
-    live = age[None, :] <= max_age[:, None]       # (B, T)
+    live = (state.stamp >= 0) & (age <= max_age[:, None])   # (B, T)
     if cfg.context_limit > 0:
-        live = live & (age[None, :] < cfg.context_limit)
+        live = live & (age < cfg.context_limit)
     slopes = jnp.asarray(alibi_slopes(H), jnp.float32)      # (H,)
     # additive bias per (B, H, T): -age * m_h; current position bias = 0
     bias_old = jnp.where(live[:, None, :],
-                         (-age.astype(jnp.float32)[None, None, :]
+                         (-age.astype(jnp.float32)[:, None, :]
                           * slopes[None, :, None]),
                          -jnp.inf)
 
@@ -220,22 +235,33 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
 
     xc = combinator(params["ar"]["combinator"], x1, x2)
 
-    # --- single fused cache write at the (global, scalar) circular slot ---
+    # --- single fused cache write at the (global, scalar) circular slot.
+    # The data write is contiguous across all streams (garbage rows for
+    # frozen streams); the stamp column marks frozen streams' rows -1 so
+    # they are never read.  A long-frozen stream can thus lose old rows
+    # by overwrite — they become invalid, never wrong.
     row = jnp.concatenate([new_vecs[n] for n in layout], axis=-1)  # (B, nD)
     cache = jax.lax.dynamic_update_slice(
         state.cache, row.astype(dtype)[:, None, :],
         (0, g % T, 0))
+    stamp = jax.lax.dynamic_update_slice(
+        state.stamp, jnp.where(active, state.count, -1)[:, None],
+        (0, g % T))
 
     trunk = {"x": xc[:, None], "o1": o1[:, None], "o2": o2[:, None],
              "x1": x1[:, None], "x2": x2[:, None]}
     outs = heads_forward(params, trunk, cfg)
     probs = probs_from_outputs(outs, cfg)
 
+    a_state = active[:, None, None]
     new_state = KVState(
         cache=cache,
-        lstm_h=h_new.reshape(B, 2, D).astype(dtype),
-        lstm_c=c_new.reshape(B, 2, D).astype(dtype),
-        count=state.count + 1,
+        lstm_h=jnp.where(a_state, h_new.reshape(B, 2, D).astype(dtype),
+                         state.lstm_h),
+        lstm_c=jnp.where(a_state, c_new.reshape(B, 2, D).astype(dtype),
+                         state.lstm_c),
+        count=state.count + active.astype(jnp.int32),
+        stamp=stamp,
         step=g + 1,
     )
     return new_state, {k: v[:, -1] for k, v in probs.items()}

@@ -175,7 +175,8 @@ def _masked_layer(layer: Params, x: jax.Array, base: jax.Array,
 
 
 def stream_step(params: Params, state: StreamState,
-                chunk: jax.Array, cfg: VapConfig
+                chunk: jax.Array, cfg: VapConfig,
+                active: Optional[jax.Array] = None
                 ) -> Tuple[StreamState, Dict[str, jax.Array]]:
     """One streaming frame for a batch of streams (full-recompute path).
 
@@ -183,8 +184,20 @@ def stream_step(params: Params, state: StreamState,
     result entry has leading dim B and carries the LAST frame's value,
     matching VAPRealTime.process_vap's `result_*` fields
     (vap_main.py:295-320).
+
+    active: optional (B,) bool — streams with no fresh frame this tick
+    are FROZEN (state unchanged, outputs garbage / to be ignored).
     """
-    state = _encode_and_append(params, state, chunk, cfg)
+    new = _encode_and_append(params, state, chunk, cfg)
+    if active is not None:
+        a = active[:, None, None]
+        new = StreamState(
+            lstm_h=jnp.where(a, new.lstm_h, state.lstm_h),
+            lstm_c=jnp.where(a, new.lstm_c, state.lstm_c),
+            e_ctx=jnp.where(a[..., None], new.e_ctx, state.e_ctx),
+            count=jnp.where(active, new.count, state.count),
+        )
+    state = new
     T = cfg.context_frames
     valid = jnp.minimum(state.count, T)
     bias = _masked_bias(cfg, valid, state.e_ctx.dtype)
