@@ -96,6 +96,73 @@ def test_arena_frozen_slots_interleave_invariance(arena_cfg, path):
         np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_arena_interleave_invariance_past_ring_wrap(arena_cfg):
+    """With the default per-stream slot policy, interleave invariance
+    must hold even after the KV ring wraps (T=20 here; the jittery run
+    spans 42 global ticks while the stream sees only 14 frames).
+
+    Regression for the global-slot overwrite bug: a frozen tick used to
+    invalidate one live cache row of every inactive stream once the ring
+    had wrapped, silently shortening jittery streams' context."""
+    cfg = arena_cfg  # 20 Hz x 1.0 s -> T=20 frames
+    T = cfg.context_frames
+    params = synthetic_params(20)
+    audio = synthetic_audio(16000 * 2)
+    frames = _frames(audio, cfg)
+    n = 14
+
+    arena_ref = StreamArena(cfg, params, capacity=2, path="kv")
+    r = arena_ref.add_stream()
+    # solo reference: runs 14 ticks, so ITS ring never wraps
+    ref = [arena_ref.step({r: frames[i]})[r]["p_now"] for i in range(n)]
+
+    arena = StreamArena(cfg, params, capacity=2, path="kv")
+    s0 = arena.add_stream()
+    s1 = arena.add_stream()
+    got = []
+    i = j = 0
+    for tick in range(3 * n):  # 42 > 2*T global ticks
+        chunks = {s0: frames[i % len(frames)]}
+        if tick % 3 == 2 and j < n:
+            chunks[s1] = frames[j]
+        res = arena.step(chunks)
+        i += 1
+        if s1 in res:
+            got.append(res[s1]["p_now"])
+            j += 1
+    assert len(got) == n and 3 * n > 2 * T
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_arena_global_slots_degrade_but_stay_valid(arena_cfg):
+    """The "global" slot policy's documented wrapped-regime behavior: a
+    jittery stream's outputs stay finite and well-formed (rows go
+    invalid, never wrong), though they may deviate from the solo run."""
+    cfg = arena_cfg
+    params = synthetic_params(20)
+    audio = synthetic_audio(16000 * 2)
+    frames = _frames(audio, cfg)
+
+    arena = StreamArena(cfg, params, capacity=2, path="kv", slots="global")
+    s0 = arena.add_stream()
+    s1 = arena.add_stream()
+    got = []
+    i = j = 0
+    for tick in range(60):  # >> T=20: ring wraps repeatedly
+        chunks = {s0: frames[i % len(frames)]}
+        if tick % 3 == 2:
+            chunks[s1] = frames[j % len(frames)]
+        res = arena.step(chunks)
+        i += 1
+        if s1 in res:
+            got.append(res[s1]["p_now"])
+            j += 1
+    p = np.stack(got)
+    assert np.isfinite(p).all()
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)
+
+
 def test_arena_capacity(arena_cfg):
     arena = StreamArena(arena_cfg, synthetic_params(20), capacity=2)
     a = arena.add_stream()

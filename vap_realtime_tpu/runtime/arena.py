@@ -48,14 +48,21 @@ class StreamArena:
     """Fixed-capacity batched streaming engine with slot lifecycle."""
 
     def __init__(self, cfg: VapConfig, params, capacity: int = 64,
-                 path: str = "kv", dtype=jnp.float32):
+                 path: str = "kv", dtype=jnp.float32, slots: str = "stream"):
         self.cfg = cfg
         self.capacity = capacity
         self.params = jax.device_put(
             jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params))
         if path == "kv":
             self.state = incremental.init_kv_state(cfg, capacity, dtype)
-            self._step = jax.jit(incremental.kv_step, static_argnums=3)
+            # "stream" slots (default): per-stream ring positions make a
+            # stream's context exactly its last T own frames no matter how
+            # arena ticks interleave — required for the isolation contract
+            # under real (jittery) traffic.  "global" is cheaper but
+            # shortens a d-duty-cycle stream's context to ~d*T after wrap.
+            step_fn = lambda p, st, ch, c, act: incremental.kv_step(
+                p, st, ch, c, act, slots=slots)
+            self._step = jax.jit(step_fn, static_argnums=3)
         else:
             self.state = streaming.init_stream_state(cfg, capacity, dtype)
             self._step = jax.jit(streaming.stream_step, static_argnums=3)
@@ -95,7 +102,10 @@ class StreamArena:
     # --- stepping ----------------------------------------------------------
 
     def warmup(self) -> None:
-        # all-frozen step: compiles + warms without advancing any stream
+        # All-frozen step: compiles + warms.  Frozen ticks touch no
+        # stream's cache rows in either slot policy ("stream" drops the
+        # scatter; "global" blends frozen rows through unchanged), so this
+        # is safe at any point in the arena's life, not just startup.
         st, out = self._step(self.params, self.state,
                              jnp.asarray(self._zero), self.cfg,
                              jnp.zeros((self.capacity,), bool))
@@ -103,9 +113,14 @@ class StreamArena:
 
     def step(self, chunks: Dict[int, np.ndarray]) -> Dict[int, Dict]:
         """chunks: {slot: (2, frame_samples)} for streams with a fresh
-        frame this tick; all other slots are FROZEN (state untouched),
-        so a stream's results depend only on its own frame sequence —
-        never on tick/packet interleaving across streams.
+        frame this tick; all other slots are FROZEN (state untouched).
+
+        With the default ``slots="stream"`` policy a stream's results
+        depend ONLY on its own frame sequence — never on tick/packet
+        interleaving across streams, including after the KV ring wraps.
+        (With ``slots="global"`` the guarantee weakens after wrap: a
+        stream active on a fraction d of ticks keeps ~d*T of its own
+        context — rows go invalid, outputs stay well-formed.)
 
         Returns {slot: {output_name: np.ndarray}} for the slots in
         `chunks`.

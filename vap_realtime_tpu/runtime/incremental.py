@@ -77,13 +77,26 @@ class KVState:
             ages are `count - stamp`: exact in each stream's own frame
             timeline even when streams tick at different rates in a
             shared arena (a frozen stream's rows do not age).
-    step:   () GLOBAL frame counter — all streams in an arena step
-            together, so the circular write slot is the scalar
-            ``step % T``: the cache write is one contiguous
-            dynamic_update_slice instead of a per-stream scatter (TPU
-            scatter over a batch of rows serializes catastrophically).
+    step:   () GLOBAL frame counter (used only by ``slots="global"``).
             A stream (re)joining a slot resets its `count` and its
             `stamp` row; stale cache rows are masked by the stamp test.
+
+    Two circular-slot policies (the ``slots`` static arg of `kv_step`):
+
+    - ``"stream"`` (default): each stream writes at its OWN ring position
+      ``count % T`` via a row scatter.  A frozen tick touches nothing, so
+      a stream's cached context is EXACTLY its last T own frames
+      regardless of how ticks interleave across streams — full interleave
+      invariance, including after the ring wraps.
+    - ``"global"``: all active streams write the single scalar slot
+      ``step % T`` as one contiguous dynamic_update_slice (frozen
+      streams' row and stamp are preserved by a blend).  Cheapest write,
+      and identical to "stream" while every stream is active on every
+      tick from birth (count == step), e.g. the offline/bench paths.
+      Under mixed activity it degrades gracefully: a stream active on a
+      fraction d of ticks keeps only ~d*T of its own frames (two of its
+      frames T global ticks apart collide in slot space) — rows become
+      invalid, never wrong.
     """
 
     cache: jax.Array
@@ -109,7 +122,8 @@ def init_kv_state(cfg: VapConfig, batch: int = 1,
 
 
 def kv_step(params: Params, state: KVState, chunk: jax.Array,
-            cfg: VapConfig, active: jax.Array | None = None
+            cfg: VapConfig, active: jax.Array | None = None,
+            slots: str = "stream"
             ) -> Tuple[KVState, Dict[str, jax.Array]]:
     """One incremental frame: chunk (B, 2, frame_samples) -> probabilities.
 
@@ -120,6 +134,11 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
     are FROZEN: their recurrent state, frame count and cached rows are
     unchanged (their outputs are garbage and must be ignored by the
     caller).  Default: all active.
+
+    slots: "stream" | "global" — circular write-slot policy (static; see
+    KVState docstring).  "stream" gives exact interleave invariance under
+    mixed activity; "global" is the cheapest write and identical while
+    all streams tick together from birth.
     """
     B = chunk.shape[0]
     D, T, H = cfg.dim, cfg.context_frames, cfg.num_heads
@@ -235,18 +254,36 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
 
     xc = combinator(params["ar"]["combinator"], x1, x2)
 
-    # --- single fused cache write at the (global, scalar) circular slot.
-    # The data write is contiguous across all streams (garbage rows for
-    # frozen streams); the stamp column marks frozen streams' rows -1 so
-    # they are never read.  A long-frozen stream can thus lose old rows
-    # by overwrite — they become invalid, never wrong.
+    # --- single fused cache write at the circular slot (policy: `slots`).
     row = jnp.concatenate([new_vecs[n] for n in layout], axis=-1)  # (B, nD)
-    cache = jax.lax.dynamic_update_slice(
-        state.cache, row.astype(dtype)[:, None, :],
-        (0, g % T, 0))
-    stamp = jax.lax.dynamic_update_slice(
-        state.stamp, jnp.where(active, state.count, -1)[:, None],
-        (0, g % T))
+    if slots == "stream":
+        # per-stream ring position; frozen streams' indices are pushed
+        # out of bounds and dropped, so a frozen tick touches NOTHING.
+        idx = jnp.where(active, state.count % T, T)
+        b_ix = jnp.arange(B)
+        cache = state.cache.at[b_ix, idx].set(
+            row.astype(dtype), mode="drop", unique_indices=True)
+        stamp = state.stamp.at[b_ix, idx].set(
+            state.count, mode="drop", unique_indices=True)
+    elif slots == "global":
+        # one contiguous dynamic_update_slice at the scalar global slot;
+        # frozen streams' row content + stamp are preserved by a blend
+        # (only self-collisions — two own-frames T global ticks apart —
+        # can still drop a live row; see KVState docstring).
+        nD = state.cache.shape[-1]
+        old_row = jax.lax.dynamic_slice(state.cache, (0, g % T, 0),
+                                        (B, 1, nD))
+        new_row = jnp.where(active[:, None, None],
+                            row.astype(dtype)[:, None, :], old_row)
+        cache = jax.lax.dynamic_update_slice(state.cache, new_row,
+                                             (0, g % T, 0))
+        old_stamp = jax.lax.dynamic_slice(state.stamp, (0, g % T), (B, 1))
+        new_stamp = jnp.where(active[:, None], state.count[:, None],
+                              old_stamp)
+        stamp = jax.lax.dynamic_update_slice(state.stamp, new_stamp,
+                                             (0, g % T))
+    else:
+        raise ValueError(f"unknown slots policy {slots!r}")
 
     trunk = {"x": xc[:, None], "o1": o1[:, None], "o2": o2[:, None],
              "x1": x1[:, None], "x2": x2[:, None]}
@@ -268,10 +305,15 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
 
 
 def run_frames_kv(params: Params, state: KVState, frames: jax.Array,
-                  cfg: VapConfig):
-    """`lax.scan` of kv_step over (F, B, 2, frame_samples)."""
+                  cfg: VapConfig, slots: str = "global"):
+    """`lax.scan` of kv_step over (F, B, 2, frame_samples).
+
+    All streams are active every frame, so the default "global" slot
+    policy is exactly equivalent to "stream" (count == step throughout)
+    at the cheapest write cost.
+    """
 
     def body(st, chunk):
-        return kv_step(params, st, chunk, cfg)
+        return kv_step(params, st, chunk, cfg, slots=slots)
 
     return jax.lax.scan(body, state, frames)

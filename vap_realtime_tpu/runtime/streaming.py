@@ -16,8 +16,10 @@ TPU-first design (SURVEY.md §7.1):
 - a leading stream axis batches thousands of concurrent dialogues; all
   ops are batched, nothing is per-stream Python
 - `stream_step` (full recompute, parity-exact) and the incremental
-  KV-cache step in runtime/incremental.py produce identical outputs; the
-  KV path just avoids the O(T^2) recompute.
+  KV-cache step in runtime/incremental.py produce identical outputs
+  while the context window is still growing; after it slides the KV
+  path deviates boundedly (StreamingLLM-style) — see
+  runtime/incremental.py's docstring for the exact contract.
 """
 
 from __future__ import annotations
