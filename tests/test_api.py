@@ -33,6 +33,8 @@ def test_vap_library_end_to_end(tmp_path):
               params=synthetic_params(20), engine_path="kv")
     vap.start_process()
     results = [vap.get_result() for _ in range(10)]
+    vap.stop_process()
+    assert vap._thread is None  # worker joined: clean interpreter exit
 
     assert all("p_now" in r and "p_future" in r and "vad" in r
                for r in results)

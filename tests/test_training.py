@@ -33,6 +33,36 @@ def test_dataloader(tmp_path):
     assert b["vad"].shape == (2, int(5.0 * 20), 2)
 
 
+def test_full_resume_equals_uninterrupted(tmp_path):
+    """fit 1 epoch -> resume from the full-state checkpoint for 1 more
+    epoch == a 2-epoch uninterrupted run: identical final params
+    (optimizer moments, lr/plateau/early counters, PRNG stream, and
+    epoch-seeded shuffles/flips all restored)."""
+    import jax
+
+    path = synthetic_manifest(str(tmp_path), n_rows=4, duration=3.0)
+    vap_cfg = VapConfig(frame_hz=20, context_len_sec=2.5)
+    data_cfg = DataConfig(train_path=path, val_path=path, batch_size=2,
+                          audio_duration=3.0, frame_hz=20)
+
+    hist2 = fit(vap_cfg, data_cfg, OptConfig(max_epochs=2, seed=3),
+                ckpt_dir=str(tmp_path / "full"), log_fn=lambda m: None)
+
+    fit(vap_cfg, data_cfg, OptConfig(max_epochs=1, seed=3),
+        ckpt_dir=str(tmp_path / "a"), log_fn=lambda m: None)
+    hist_r = fit(vap_cfg, data_cfg, OptConfig(max_epochs=2, seed=3),
+                 ckpt_dir=str(tmp_path / "b"),
+                 resume_from=str(tmp_path / "a" / "last.npz"),
+                 log_fn=lambda m: None)
+
+    assert hist_r["epoch"] == hist2["epoch"] == 1
+    flat2 = jax.tree_util.tree_leaves(hist2["params"])
+    flatr = jax.tree_util.tree_leaves(hist_r["params"])
+    for a, b in zip(flat2, flatr):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-7)
+    assert hist_r["train_loss"] == hist2["train_loss"]
+
+
 def test_fit_and_evaluate(tmp_path):
     """Two-epoch fit on a tiny synthetic dataset: loss finite+decreasing,
     best checkpoint saved, evaluation CLI writes score.csv."""

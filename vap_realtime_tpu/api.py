@@ -120,6 +120,8 @@ class Vap:
         self.frame_contxt_padding = FRAME_CONTEXT_PADDING
         self.result_dict_queue: queue.Queue = queue.Queue()
         self._started = False
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
 
     # --- worker loop (reference model.py:96-119) ---------------------------
 
@@ -127,7 +129,7 @@ class Vap:
         pad = self.frame_contxt_padding
         x1 = np.zeros(pad)
         x2 = np.zeros(pad)
-        while True:
+        while not self._stop.is_set():
             x1 = np.concatenate([x1, self.mic1.get_audio_data()])
             x2 = np.concatenate([x2, self.mic2.get_audio_data()])
             if len(x1) < self.audio_frame_size:
@@ -144,7 +146,29 @@ class Vap:
         self.mic1.start_process()
         self.mic2.start_process()
         self._started = True
-        threading.Thread(target=self.worker, daemon=True).start()
+        self._stop.clear()
+        self._thread = threading.Thread(target=self.worker, daemon=True)
+        self._thread.start()
+        # A daemon thread killed inside XLA native code at interpreter
+        # finalization aborts the process ("FATAL: exception not
+        # rethrown") — always drain the worker before Python exits.
+        import atexit
+        atexit.register(self.stop_process)
+
+    def stop_process(self, timeout: float = 5.0) -> None:
+        """Stop the worker thread and the audio sources.  Idempotent;
+        also registered atexit so scripts that never call it exit
+        cleanly."""
+        self._stop.set()
+        for mic in (self.mic1, self.mic2):
+            stop = getattr(mic, "stop_process", None)
+            if stop is not None:
+                stop()
+        t = self._thread
+        if t is not None and t.is_alive():
+            t.join(timeout)
+        self._thread = None
+        self._started = False
 
     def process_vap(self, x1: np.ndarray, x2: np.ndarray) -> Dict:
         outs = self.engine.process(x1, x2)

@@ -44,11 +44,28 @@ def available_mic_devices() -> List[dict]:
 class Base:
     """One stream of 10 ms float chunks in [-1, 1]."""
 
+    _stopped = False
+
     def start_process(self) -> None:  # pragma: no cover - interface
         pass
 
+    def stop_process(self) -> None:
+        """Unblock any pending get_audio_data and stop producing.  After
+        stop, get_audio_data returns silence so consumer loops drain
+        without blocking forever."""
+        self._stopped = True
+
     def get_audio_data(self) -> np.ndarray:
         raise NotImplementedError
+
+    def _drain_queue(self, q: "queue.Queue") -> np.ndarray:
+        """Blocking queue pop that wakes up on stop (returns silence)."""
+        while not self._stopped:
+            try:
+                return q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+        return np.zeros(FRAME_SIZE, np.float64)
 
 
 class Zero(Base):
@@ -94,8 +111,18 @@ class Mic(Base):
             input_device_index=self.device_index, stream_callback=cb)
         self._stream.start_stream()
 
+    def stop_process(self) -> None:
+        super().stop_process()
+        if self._stream is not None:
+            try:
+                self._stream.stop_stream()
+                self._stream.close()
+            except OSError:
+                pass
+            self._stream = None
+
     def get_audio_data(self) -> np.ndarray:
-        return self.q.get()
+        return self._drain_queue(self.q)
 
 
 class Wav(Base):
@@ -161,15 +188,24 @@ class TCPReceiver(Base):
         threading.Thread(target=self._serve, daemon=True).start()
 
     def _serve(self) -> None:
-        while True:
+        while not self._stopped:
             try:
                 s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
                 s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
                 s.bind((self.ip, self.port))
                 s.listen(1)
-                conn, _ = s.accept()
+                s.settimeout(0.5)
+                while not self._stopped:
+                    try:
+                        conn, _ = s.accept()
+                    except socket.timeout:
+                        continue
+                    break
+                else:
+                    s.close()
+                    return
                 with conn:
-                    while True:
+                    while not self._stopped:
                         data = wire._read_exact(conn, 8 * 2 * FRAME_SIZE)
                         x1, x2 = wire.conv_bytearray_2_2floatarray(data)
                         self.q.put(x1 if self.channel == 0 else x2)
@@ -182,7 +218,7 @@ class TCPReceiver(Base):
                 continue
 
     def get_audio_data(self) -> np.ndarray:
-        return self.q.get()
+        return self._drain_queue(self.q)
 
 
 class TCPTransmitter:
@@ -194,14 +230,20 @@ class TCPTransmitter:
         self.source = source
         self.ip = ip
         self.port = port
+        self._stopped = False
 
     def start_process(self) -> None:
         self.source.start_process()
         threading.Thread(target=self._run, daemon=True).start()
 
+    def stop_process(self) -> None:
+        self._stopped = True
+        self.source.stop_process()
+
     def _run(self) -> None:
         sock = socket.create_connection((self.ip, self.port))
         zeros = np.zeros(FRAME_SIZE)
-        while True:
+        while not self._stopped:
             x = self.source.get_audio_data()
             sock.sendall(wire.conv_2floatarray_2_bytearray(x, zeros))
+        sock.close()

@@ -129,27 +129,42 @@ class VapDataLoader:
         self.cfg = cfg
         self.shuffle = shuffle
         self.train = train
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self._epoch = 0
         self.prefetch = prefetch
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch index that seeds the next iteration's shuffle
+        order and flip masks.  Epoch-indexed seeding (instead of one
+        RandomState advanced across epochs) makes any epoch reproducible
+        in isolation — required for exact training resume."""
+        self._epoch = epoch
+
+    def _epoch_rng(self) -> np.random.RandomState:
+        return np.random.RandomState(
+            (self.seed * 100003 + self._epoch) % (2 ** 31 - 1))
 
     def __len__(self) -> int:
         return len(self.rows) // self.cfg.batch_size
 
-    def _make_batch(self, rows: List[Dict]) -> Dict[str, np.ndarray]:
+    def _make_batch(self, rows: List[Dict],
+                    rng: np.random.RandomState) -> Dict[str, np.ndarray]:
         samples = [load_sample(r, self.cfg) for r in rows]
         batch = {
             "waveform": np.stack([s["waveform"] for s in samples]),
             "vad": np.stack([s["vad"] for s in samples]),
         }
         if self.train and self.cfg.flip_channels:
-            mask = self.rng.rand(len(rows)) < self.cfg.flip_probability
+            mask = rng.rand(len(rows)) < self.cfg.flip_probability
             batch = flip_channels(batch, mask)
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = self._epoch_rng()
+        self._epoch += 1  # standalone use: next iteration = next epoch
         order = np.arange(len(self.rows))
         if self.shuffle:
-            self.rng.shuffle(order)
+            rng.shuffle(order)
         bs = self.cfg.batch_size
         n_batches = len(self)
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
@@ -157,7 +172,7 @@ class VapDataLoader:
         def producer():
             for i in range(n_batches):
                 rows = [self.rows[j] for j in order[i * bs:(i + 1) * bs]]
-                q.put(self._make_batch(rows))
+                q.put(self._make_batch(rows, rng))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

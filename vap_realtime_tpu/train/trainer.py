@@ -141,6 +141,44 @@ def evaluate(params, loader, eval_step, cfg: VapConfig,
     return metrics
 
 
+def save_train_state(path: str, params, opt_state, rng, meta: Dict) -> None:
+    """Full-state checkpoint: params + optimizer state + PRNG key +
+    scheduler/early-stop counters — everything `fit` needs to continue
+    EXACTLY as if uninterrupted (the capability the reference stubs out,
+    train/train.py:323-329).  Atomic write (tmp + rename)."""
+    from vap_realtime_tpu.weights.convert import _flatten
+
+    flat = {f"params/{k}": v for k, v in _flatten(
+        jax.tree_util.tree_map(np.asarray, params)).items()}
+    for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
+        flat[f"opt/{i:05d}"] = np.asarray(leaf)
+    flat["rng"] = np.asarray(rng)
+    flat["meta_json"] = np.asarray(json.dumps(meta))
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def is_full_train_state(path: str) -> bool:
+    with np.load(path, allow_pickle=False) as data:
+        return "meta_json" in data.files
+
+
+def load_train_state(path: str):
+    """-> (params_tree, opt_leaves, rng, meta).  The optimizer leaves are
+    re-attached to a freshly built tx.init treedef by the caller."""
+    from vap_realtime_tpu.weights.convert import _unflatten
+
+    with np.load(path, allow_pickle=False) as data:
+        params = _unflatten({k[len("params/"):]: data[k]
+                             for k in data.files if k.startswith("params/")})
+        opt_keys = sorted(k for k in data.files if k.startswith("opt/"))
+        opt_leaves = [data[k] for k in opt_keys]
+        rng = jnp.asarray(data["rng"])
+        meta = json.loads(str(data["meta_json"]))
+    return params, opt_leaves, rng, meta
+
+
 def find_best_checkpoint(ckpt_dir: str) -> Optional[str]:
     """Pick min-val_loss checkpoint by filename (evaluation.py:97-120)."""
     best, best_loss = None, float("inf")
@@ -164,14 +202,21 @@ def fit(vap_cfg: VapConfig, data_cfg: DataConfig, opt_cfg: OptConfig,
     mesh = make_mesh()
     rng = jax.random.PRNGKey(opt_cfg.seed)
 
-    if init_params is None:
+    resume = None
+    if resume_from and is_full_train_state(resume_from):
+        init_params, opt_leaves, rng, resume = load_train_state(resume_from)
+    elif resume_from:
+        init_params = load_pytree_npz(resume_from)  # params-only warm start
+    elif init_params is None:
         init_params = init_vap_params(rng, vap_cfg)
-    if resume_from:
-        init_params = load_pytree_npz(resume_from)
     params = replicate(mesh, jax.tree_util.tree_map(jnp.asarray,
                                                     init_params))
     tx = make_tx(params, opt_cfg)
     opt_state = tx.init(params)
+    if resume is not None:
+        opt_state = replicate(mesh, jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(opt_state),
+            [jnp.asarray(x) for x in opt_leaves]))
 
     step_fn = make_train_step(tx, vap_cfg, augment=augment)
     eval_fn = make_eval_step(vap_cfg)
@@ -188,11 +233,21 @@ def fit(vap_cfg: VapConfig, data_cfg: DataConfig, opt_cfg: OptConfig,
     plateau = 0
     early = 0
     lr = opt_cfg.learning_rate
+    start_epoch = 0
     history = {}
+    if resume is not None:
+        best_val = resume["best_val"]
+        plateau = resume["plateau"]
+        early = resume["early"]
+        lr = resume["lr"]
+        start_epoch = resume["epoch"] + 1
+        log_fn(f"resumed full train state from {resume_from} "
+               f"(next epoch {start_epoch}, lr={lr:.2e})")
 
-    for epoch in range(opt_cfg.max_epochs):
+    for epoch in range(start_epoch, opt_cfg.max_epochs):
         t0 = time.time()
         losses = []
+        train_loader.set_epoch(epoch)
         for batch in train_loader:
             rng, sub = jax.random.split(rng)
             sbatch = shard_batch(mesh, batch)
@@ -237,6 +292,12 @@ def fit(vap_cfg: VapConfig, data_cfg: DataConfig, opt_cfg: OptConfig,
                 if early >= opt_cfg.early_stopping_patience:
                     log_fn(msg + " [early stop]")
                     break
+        # full-state "last" checkpoint: resuming from it continues the
+        # run exactly (optimizer moments, lr, plateau/early counters, PRNG)
+        save_train_state(
+            os.path.join(ckpt_dir, "last.npz"), params, opt_state, rng,
+            {"epoch": epoch, "lr": lr, "best_val": best_val,
+             "plateau": plateau, "early": early})
         log_fn(msg)
 
     history["params"] = jax.tree_util.tree_map(np.asarray, params)
