@@ -1,21 +1,44 @@
 """Waveform augmentations for noise-robust ("MC") training.
 
-Reference contract (train/transforms.py:11-144 `Augmentation`): Gaussian
-noise, frequency masking applied through a complex STFT, and pitch shift
-(+-2 semitones).  The reference wires these via AudioAugmentationCallback
-(train/callbacks.py) — commented out of the default callback list but
-used to produce the published noise-robust `*_MC` checkpoints
-(README.md:343-347).
+Reference contract (train/transforms.py:11-144 `Augmentation`): with
+probability 0.5 per train batch, apply ONE of {pitch shift, additive
+noise, waveform frequency masking} (p=0.25 each) or all three in
+sequence (p=0.25).  These perturbations produced the published
+noise-robust `*_MC` checkpoints (README.md:343-347).
 
-JAX implementations; all pure functions of (waveform, rng).  Pitch shift
-uses phase-vocoder time-stretch + resample (torchaudio's approach),
-simplified to linear-interp resampling of the STFT-stretched signal.
+Faithful recipes:
+
+- Pitch shift (reference transforms.py:93-107 -> torchaudio
+  `functional.pitch_shift`): STFT (n_fft=512, hop=128, centered hann)
+  -> phase vocoder time-stretch by 1/rate -> iSTFT at length
+  round(L/rate) -> windowed-sinc resample int(sr/rate) -> sr
+  (`sinc_interp_hann`, lowpass_filter_width=6, rolloff=0.99), cropped
+  or zero-padded back to L.  rate = 2**(-n_steps/12), n_steps drawn
+  from {-2,-1,1,2}.  torchaudio is not installable in this image, so
+  the algorithm is re-implemented from its published definition and
+  golden-pinned against an independent float64 torch/numpy rendering
+  of the same formulas (tools/generate_golden.py).
+- Additive noise (reference transforms.py:74-90 `AddGaussianNoise`):
+  Gaussian noise rescaled to a peak-to-peak band of 2*max_amplitude
+  and re-centered (noise -= min; noise *= 2a/max; noise -= max/2).
+- Frequency masking (reference transforms.py:110-141
+  `WaveformFrequencyMasking`): complex STFT with n_fft = 0.05*sr = 800,
+  hop = 0.02*sr = 320; a random band of width U[0, 100) bins starting
+  at U[0, n_freq - width) is zeroed in the REAL part only (the
+  reference masks `spec.real` and keeps the imaginary part — quirk
+  preserved), iid per (batch, channel); then inverse STFT.
+
+All pure functions of (waveform, rng); everything jit-compatible (the
+data-dependent branch/step choices use `lax.switch` over static-shape
+branches).
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
-from typing import Optional
+from functools import partial
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,130 +47,237 @@ import numpy as np
 
 @dataclass(frozen=True)
 class AugmentConfig:
-    noise_prob: float = 0.5
-    noise_scale: float = 0.005
-    freq_mask_prob: float = 0.5
-    freq_mask_param: int = 80       # mel-agnostic bin count on 400-bin STFT
-    pitch_shift_prob: float = 0.0   # expensive; off by default
-    pitch_steps: int = 2            # +- semitones
-    n_fft: int = 400
-    hop: int = 160
+    """Reference Augmentation defaults (train/transforms.py:13-21)."""
 
+    probability: float = 0.5
+    noise_amplitude: float = 0.01
+    pitch_steps: Tuple[int, ...] = (-2, -1, 1, 2)
+    freq_mask_param: int = 100
+    sample_rate: int = 16000
+
+
+# ---------------------------------------------------------------------------
+# STFT / iSTFT with torch semantics (center=True, reflect pad, hann)
+# ---------------------------------------------------------------------------
+
+def _stft(wav: jax.Array, n_fft: int, hop: int) -> jax.Array:
+    """(..., L) -> complex (..., n_freq, frames), torch.stft semantics
+    (center=True reflect padding, hann window, onesided)."""
+    pad = n_fft // 2
+    x = jnp.concatenate(
+        [wav[..., 1:pad + 1][..., ::-1], wav, wav[..., -pad - 1:-1][..., ::-1]],
+        axis=-1)
+    L = x.shape[-1]
+    frames = 1 + (L - n_fft) // hop
+    idx = jnp.arange(n_fft)[None, :] + hop * jnp.arange(frames)[:, None]
+    window = jnp.asarray(np.hanning(n_fft + 1)[:-1], wav.dtype)  # periodic
+    seg = x[..., idx] * window                     # (..., frames, n_fft)
+    return jnp.swapaxes(jnp.fft.rfft(seg, axis=-1), -1, -2)
+
+
+def _istft(spec: jax.Array, n_fft: int, hop: int, length: int) -> jax.Array:
+    """complex (..., n_freq, frames) -> (..., length), torch.istft
+    semantics (window-square overlap-add normalization, center crop)."""
+    dtype = jnp.zeros((), spec.dtype).real.dtype
+    window = jnp.asarray(np.hanning(n_fft + 1)[:-1], dtype)
+    frames = spec.shape[-1]
+    seg = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    seg = (seg * window).astype(dtype)             # (..., frames, n_fft)
+    Ly = (frames - 1) * hop + n_fft
+    idx = jnp.arange(n_fft)[None, :] + hop * jnp.arange(frames)[:, None]
+    y = jnp.zeros(spec.shape[:-2] + (Ly,), dtype).at[..., idx].add(seg)
+    norm = jnp.zeros((Ly,), dtype).at[idx.reshape(-1)].add(
+        jnp.tile(window ** 2, (frames,)))
+    y = y / jnp.maximum(norm, 1e-11)
+    pad = n_fft // 2
+    return y[..., pad:pad + length]
+
+
+def phase_vocoder(spec: jax.Array, rate: float, hop: int,
+                  n_fft: int) -> jax.Array:
+    """Time-stretch a complex STFT by `rate` (torchaudio
+    `functional.phase_vocoder` formulas).
+
+    spec: (..., n_freq, frames) -> (..., n_freq, ceil(frames/rate)).
+    """
+    n_freq, F = spec.shape[-2], spec.shape[-1]
+    dtype = jnp.zeros((), spec.dtype).real.dtype
+    phase_advance = jnp.linspace(0, math.pi * hop, n_freq,
+                                 dtype=dtype)[:, None]
+    steps = np.arange(0, F, rate, dtype=np.float64)      # static length
+    alphas = jnp.asarray(steps % 1.0, dtype)
+    i0 = jnp.asarray(steps.astype(np.int64))
+    specp = jnp.concatenate(
+        [spec, jnp.zeros(spec.shape[:-1] + (2,), spec.dtype)], axis=-1)
+    s0 = specp[..., i0]
+    s1 = specp[..., i0 + 1]
+
+    phase0 = jnp.angle(spec[..., :1])
+    phase = jnp.angle(s1) - jnp.angle(s0) - phase_advance
+    phase = phase - 2 * math.pi * jnp.round(phase / (2 * math.pi))
+    phase = phase + phase_advance
+    phase = jnp.concatenate([phase0, phase[..., :-1]], axis=-1)
+    phase_acc = jnp.cumsum(phase, axis=-1)
+    mag = alphas * jnp.abs(s1) + (1 - alphas) * jnp.abs(s0)
+    return mag * jnp.exp(1j * phase_acc)
+
+
+# ---------------------------------------------------------------------------
+# Windowed-sinc resampling (torchaudio sinc_interp_hann)
+# ---------------------------------------------------------------------------
+
+def _resample_table(orig_freq: int, new_freq: int,
+                    lowpass_filter_width: int = 6, rolloff: float = 0.99
+                    ) -> Tuple[np.ndarray, np.ndarray, int, int, int]:
+    """Per-output-phase sinc kernel table (numpy, float64).
+
+    torchaudio materializes a dense (new_freq, orig_freq + 2*width)
+    conv kernel whose taps are zero outside |t| < lowpass_filter_width;
+    this builds only the non-zero window per phase.  Mathematically
+    identical (the gather/dense equivalence is asserted in
+    tools/generate_golden.py).  Returns (kernels (new, taps),
+    start (new,), orig, new, width) with orig/new gcd-reduced.
+    """
+    g = math.gcd(int(orig_freq), int(new_freq))
+    orig, new = int(orig_freq) // g, int(new_freq) // g
+    base = min(orig, new) * rolloff
+    width = int(math.ceil(lowpass_filter_width * orig / base))
+    taps = 2 * width + 2
+    k = np.arange(new, dtype=np.float64)[:, None]         # output phase
+    start = np.floor(k * orig / new).astype(np.int64) - width  # (new, 1)
+    n = start + np.arange(taps, dtype=np.int64)[None, :]  # input index
+    u = n / orig - k / new
+    t = np.clip(u * base, -lowpass_filter_width, lowpass_filter_width)
+    window = np.cos(t * math.pi / lowpass_filter_width / 2) ** 2
+    tpi = t * math.pi
+    kern = np.where(tpi == 0, 1.0, np.sin(tpi) / np.where(tpi == 0, 1, tpi))
+    kern = kern * window * (base / orig)
+    return kern, start[:, 0], orig, new, width
+
+
+def sinc_resample(wav: jax.Array, orig_freq: int, new_freq: int) -> jax.Array:
+    """(..., L) at orig_freq -> (..., ceil(L*new/orig)) at new_freq,
+    matching torchaudio `functional.resample` defaults
+    (sinc_interp_hann, lowpass_filter_width=6, rolloff=0.99)."""
+    kern, start, orig, new, _w = _resample_table(orig_freq, new_freq)
+    L = wav.shape[-1]
+    target = int(math.ceil(new * L / orig))
+    m = np.arange(target, dtype=np.int64)
+    block, phase = m // new, m % new
+    n0 = block * orig + start[phase]                      # first tap per out
+    taps = kern.shape[1]
+    idx = jnp.asarray(n0)[:, None] + jnp.arange(taps)[None, :]
+    valid = (idx >= 0) & (idx < L)
+    gathered = jnp.where(valid, wav[..., jnp.clip(idx, 0, L - 1)], 0.0)
+    weights = jnp.asarray(kern[phase], wav.dtype)         # (target, taps)
+    return jnp.sum(gathered * weights, axis=-1)
+
+
+def pitch_shift(wav: jax.Array, n_steps: int, sample_rate: int = 16000,
+                n_fft: int = 512, bins_per_octave: int = 12) -> jax.Array:
+    """Duration-preserving pitch shift by `n_steps` semitones — the exact
+    torchaudio `functional.pitch_shift` pipeline used by the reference
+    (train/transforms.py:102-107; hop = n_fft//4, centered hann STFT).
+
+    `n_steps` must be a static Python int (the stretch length is shape-
+    determining); randomized selection happens via `lax.switch` in
+    `augment_batch`.  NOTE: the reference disables torch determinism
+    around this op; this version is deterministic.
+    """
+    hop = n_fft // 4
+    rate = 2.0 ** (-float(n_steps) / bins_per_octave)
+    L = wav.shape[-1]
+    spec = _stft(wav, n_fft, hop)
+    stretched = phase_vocoder(spec, rate, hop, n_fft)
+    len_stretch = int(round(L / rate))
+    y = _istft(stretched, n_fft, hop, len_stretch)
+    z = sinc_resample(y, int(sample_rate / rate), sample_rate)
+    if z.shape[-1] >= L:
+        return z[..., :L]
+    return jnp.concatenate(
+        [z, jnp.zeros(z.shape[:-1] + (L - z.shape[-1],), z.dtype)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Noise + frequency masking
+# ---------------------------------------------------------------------------
 
 def add_noise(wav: jax.Array, rng: jax.Array,
-              scale: float = 0.005) -> jax.Array:
-    """Gaussian additive noise (transforms.py Gaussian branch)."""
-    return wav + scale * jax.random.normal(rng, wav.shape, wav.dtype)
+              max_amplitude: float = 0.01) -> jax.Array:
+    """Reference AddGaussianNoise (transforms.py:74-90): Gaussian noise
+    rescaled so its peak-to-peak span is 2*max_amplitude, re-centered by
+    half its max."""
+    noise = jax.random.normal(rng, wav.shape, wav.dtype)
+    noise = noise - noise.min()
+    noise = 2 * max_amplitude * noise / noise.max()
+    noise = noise - noise.max() / 2
+    return wav + noise
 
 
-def freq_mask(wav: jax.Array, rng: jax.Array, n_fft: int = 400,
-              hop: int = 160, mask_param: int = 80) -> jax.Array:
-    """Frequency masking through a complex STFT (transforms.py:94-123).
+def freq_mask(wav: jax.Array, rng: jax.Array, sample_rate: int = 16000,
+              mask_param: int = 100) -> jax.Array:
+    """Reference WaveformFrequencyMasking (transforms.py:110-141):
+    complex STFT (n_fft=0.05*sr, hop=0.02*sr), zero a random band of the
+    REAL part only (iid per leading axes), inverse STFT.
 
-    wav: (..., L).  A contiguous band of frequency bins is zeroed and the
-    signal re-synthesized by overlap-add ISTFT.
-    """
+    wav: (..., L); the mask is iid over all leading axes (torchaudio
+    `iid_masks=True` on (B, C, F, T))."""
+    n_fft = int(0.05 * sample_rate)
+    hop = int(0.02 * sample_rate)
     L = wav.shape[-1]
-    window = jnp.hanning(n_fft).astype(wav.dtype)
-    n_frames = 1 + (L - n_fft) // hop
-    idx = jnp.arange(n_fft)[None, :] + hop * jnp.arange(n_frames)[:, None]
-    frames = wav[..., idx] * window                      # (..., F, n_fft)
-    spec = jnp.fft.rfft(frames, axis=-1)                 # (..., F, bins)
-
-    bins = spec.shape[-1]
+    spec = _stft(wav, n_fft, hop)                  # (..., n_freq, T)
+    n_freq = spec.shape[-2]
+    lead = spec.shape[:-2]
     k1, k2 = jax.random.split(rng)
-    width = jax.random.randint(k1, (), 0, mask_param + 1)
-    start = jax.random.randint(k2, (), 0, jnp.maximum(bins - width, 1))
-    bin_idx = jnp.arange(bins)
-    keep = (bin_idx < start) | (bin_idx >= start + width)
-    spec = spec * keep
-
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
-    out = jnp.zeros_like(wav)
-    norm = jnp.zeros(L, wav.dtype)
-    # overlap-add (scatter-add over the same index grid)
-    out = out.at[..., idx].add(frames)
-    norm = norm.at[idx.reshape(-1)].add(
-        jnp.tile(window ** 2, (n_frames,)))
-    # where window coverage is negligible (signal edges) keep the input:
-    # dividing masked-spectrum leakage by a vanishing norm explodes
-    ola = out / jnp.maximum(norm, 1e-2)
-    return jnp.where(norm >= 1e-1, ola, wav)
+    value = jax.random.uniform(k1, lead) * mask_param
+    vmin = jax.random.uniform(k2, lead) * (n_freq - value)
+    f = jnp.arange(n_freq, dtype=jnp.float32)
+    band = ((f >= vmin[..., None]) & (f < (vmin + value)[..., None]))
+    masked_real = jnp.where(band[..., None], 0.0, spec.real)
+    spec = jax.lax.complex(masked_real, spec.imag)
+    return _istft(spec, n_fft, hop, L)
 
 
-def pitch_shift(wav: jax.Array, steps: float, n_fft: int = 400,
-                hop: int = 100) -> jax.Array:
-    """Phase-vocoder pitch shift by `steps` semitones, duration preserved
-    (the torchaudio PitchShift recipe the reference uses: STFT
-    time-stretch by 1/rate, then resample by rate).
-
-    NOTE: the reference disables determinism around pitch_shift
-    (train/transforms.py:102-107); this version is deterministic.
-    wav: (..., L).
-    """
-    rate = 2.0 ** (steps / 12.0)
-    L = wav.shape[-1]
-    window = jnp.hanning(n_fft).astype(wav.dtype)
-
-    # analysis STFT
-    F = 1 + (L - n_fft) // hop
-    idx = jnp.arange(n_fft)[None, :] + hop * jnp.arange(F)[:, None]
-    spec = jnp.fft.rfft(wav[..., idx] * window, axis=-1)  # (..., F, K)
-    mags = jnp.abs(spec)
-    phis = jnp.angle(spec)
-    K = spec.shape[-1]
-    omega = 2 * jnp.pi * hop * jnp.arange(K) / n_fft      # per-hop advance
-
-    # 1) phase-vocoder time-STRETCH by `rate` (pitch unchanged): synthesis
-    # frames step through the analysis timeline at stride 1/rate, so for
-    # rate > 1 the stretched signal is LONGER (duration L*rate).
-    M = max(int((F - 1) * rate), 2)
-    pos = jnp.arange(M) / rate
-    i0 = jnp.clip(pos.astype(jnp.int32), 0, F - 2)
-    frac = (pos - i0)[..., None]
-    mag_m = (1 - frac) * mags[..., i0, :] + frac * mags[..., i0 + 1, :]
-    dphi = phis[..., i0 + 1, :] - phis[..., i0, :] - omega
-    dphi = dphi - 2 * jnp.pi * jnp.round(dphi / (2 * jnp.pi))  # wrap
-    advance = omega + dphi                                 # (..., M, K)
-
-    # accumulate phase over synthesis frames
-    phase = jnp.cumsum(advance, axis=-2) - advance + phis[..., 0:1, :]
-    frames = jnp.fft.irfft(mag_m * jnp.exp(1j * phase), n=n_fft,
-                           axis=-1).real * window
-
-    # overlap-add at the same hop -> time-stretched signal y (length ~L*rate)
-    Ly = (M - 1) * hop + n_fft
-    idx_y = jnp.arange(n_fft)[None, :] + hop * jnp.arange(M)[:, None]
-    y = jnp.zeros(wav.shape[:-1] + (Ly,), wav.dtype)
-    y = y.at[..., idx_y].add(frames.astype(wav.dtype))
-    norm = jnp.zeros((Ly,), wav.dtype).at[idx_y.reshape(-1)].add(
-        jnp.tile(window ** 2, (M,)))
-    y = jnp.where(norm >= 1e-1, y / jnp.maximum(norm, 1e-2), 0.0)
-
-    # 2) resample: read y at step `rate` -> length L, duration restored,
-    # pitch multiplied by `rate`.
-    pos_s = jnp.arange(L) * rate
-    i0s = jnp.clip(pos_s.astype(jnp.int32), 0, Ly - 2)
-    fr = (pos_s - i0s).astype(wav.dtype)
-    return y[..., i0s] * (1 - fr) + y[..., i0s + 1] * fr
-
+# ---------------------------------------------------------------------------
+# Batch augmentation (reference Augmentation.forward branch structure)
+# ---------------------------------------------------------------------------
 
 def augment_batch(wav: jax.Array, rng: jax.Array,
                   cfg: Optional[AugmentConfig] = None) -> jax.Array:
-    """Per-sample randomized augmentation of (B, 2, L) waveforms."""
+    """One train-batch augmentation draw (reference transforms.py:58-71):
+    with probability `cfg.probability`, apply ONE of pitch / noise /
+    freq-mask (p=0.25 each) or all three (p=0.25) to the WHOLE batch
+    (batch-level branch draws, like the reference's callback).
+
+    wav: (B, 2, L).
+    """
     cfg = cfg or AugmentConfig()
-    B = wav.shape[0]
-    keys = jax.random.split(rng, B * 3).reshape(B, 3, 2)
+    k_gate, k_branch, k_step, k_noise, k_mask = jax.random.split(rng, 5)
+    B, C, L = wav.shape
+    flat = wav.reshape(B * C, L)
 
-    def one(w, ks):
-        w = jax.lax.cond(
-            jax.random.uniform(ks[0]) < cfg.noise_prob,
-            lambda w: add_noise(w, ks[0], cfg.noise_scale), lambda w: w, w)
-        w = jax.lax.cond(
-            jax.random.uniform(ks[1]) < cfg.freq_mask_prob,
-            lambda w: freq_mask(w, ks[1], cfg.n_fft, cfg.hop,
-                                cfg.freq_mask_param),
-            lambda w: w, w)
-        return w
+    def _pitch(x):
+        branches = [partial(pitch_shift, n_steps=s,
+                            sample_rate=cfg.sample_rate)
+                    for s in cfg.pitch_steps]
+        i = jax.random.randint(k_step, (), 0, len(cfg.pitch_steps))
+        return jax.lax.switch(i, branches, x)
 
-    return jax.vmap(one)(wav, keys)
+    def _noise(x):
+        return add_noise(x, k_noise, cfg.noise_amplitude)
+
+    def _mask(x):
+        return freq_mask(x, k_mask, cfg.sample_rate, cfg.freq_mask_param)
+
+    def _all(x):
+        # reference apply_all order: pitch -> freq mask -> noise
+        return _noise(_mask(_pitch(x)))
+
+    def _apply(x):
+        r = jax.random.uniform(k_branch)
+        branch = (jnp.int32(r >= 0.25) + jnp.int32(r >= 0.5)
+                  + jnp.int32(r >= 0.75))
+        return jax.lax.switch(branch, [_pitch, _noise, _mask, _all], x)
+
+    gate = jax.random.uniform(k_gate) <= cfg.probability
+    return jax.lax.cond(gate, _apply, lambda x: x, flat).reshape(B, C, L)
