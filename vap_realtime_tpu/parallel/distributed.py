@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import jax
+import jax.experimental.multihost_utils as multihost_utils
 import numpy as np
 
 
@@ -43,6 +44,21 @@ def all_host_metrics(local: Dict[str, float]) -> Dict[str, float]:
     """
     keys = sorted(local)
     vals = jax.numpy.asarray([float(local[k]) for k in keys])
-    summed = jax.experimental.multihost_utils.process_allgather(vals)
+    summed = multihost_utils.process_allgather(vals)
     total = np.asarray(summed).sum(axis=0)
     return {k: float(v) for k, v in zip(keys, total)}
+
+
+def global_batch(mesh, tree, axis_name: str = "dp"):
+    """Assemble a GLOBAL dp-sharded batch from each process's local
+    shard (multi-controller analogue of mesh.shard_batch): every process
+    passes its own local leaves; the returned global arrays span all
+    hosts' devices along the leading axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x):
+        spec = P(axis_name, *([None] * (x.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(x))
+
+    return jax.tree_util.tree_map(put, tree)
