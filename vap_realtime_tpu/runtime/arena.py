@@ -27,6 +27,11 @@ from vap_realtime_tpu.runtime import incremental, streaming
 
 def _reset_slot(state, idx: jax.Array):
     """Zero one slot's recurrent state + validity counter (jit-friendly)."""
+    if isinstance(state, incremental.HybridState):
+        return incremental.HybridState(
+            kv=_reset_slot(state.kv, idx),
+            e_ctx=state.e_ctx,  # masked by count (right-aligned validity)
+        )
     if isinstance(state, incremental.KVState):
         return incremental.KVState(
             cache=state.cache,  # stale rows masked by stamp
@@ -48,12 +53,20 @@ class StreamArena:
     """Fixed-capacity batched streaming engine with slot lifecycle."""
 
     def __init__(self, cfg: VapConfig, params, capacity: int = 64,
-                 path: str = "kv", dtype=jnp.float32, slots: str = "stream"):
+                 path: str = "kv", dtype=jnp.float32, slots: str = "stream",
+                 resync_every: Optional[int] = None):
         self.cfg = cfg
         self.capacity = capacity
         self.params = jax.device_put(
             jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params))
-        if path == "kv":
+        if path == "hybrid":
+            n = resync_every if resync_every is not None \
+                else cfg.context_frames
+            self.state = incremental.init_hybrid_state(cfg, capacity, dtype)
+            step_fn = lambda p, st, ch, c, act: incremental.hybrid_step(
+                p, st, ch, c, act, n)
+            self._step = jax.jit(step_fn, static_argnums=3)
+        elif path == "kv":
             self.state = incremental.init_kv_state(cfg, capacity, dtype)
             # "stream" slots (default): per-stream ring positions make a
             # stream's context exactly its last T own frames no matter how

@@ -7,10 +7,13 @@ the compute is one jitted dispatch; the class only does host-side
 bookkeeping (accumulating 10 ms hops into model frames is the caller's or
 server's job, as in the reference).
 
-Two serving paths:
-- "full": parity-exact full recompute per frame (reference semantics)
-- "kv":   incremental KV-cache step (exact until the context window
-          slides; see runtime/incremental.py)
+Three serving paths:
+- "full":   parity-exact full recompute per frame (reference semantics)
+- "kv":     incremental KV-cache step (exact until the context window
+            slides; see runtime/incremental.py)
+- "hybrid": KV step with a full-recompute resync every `resync_every`
+            frames — resync frames are parity-exact and flush the
+            cached-K/V drift, bounding inter-resync deviation
 """
 
 from __future__ import annotations
@@ -37,10 +40,12 @@ class VapEngine:
                  cpc_model: Optional[str] = None,
                  checkpoint_npz: Optional[str] = None,
                  path: str = "kv", batch: int = 1,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, resync_every: Optional[int] = None):
         self.cfg = cfg or VapConfig()
         self.batch = batch
         self.path = path
+        self.resync_every = (resync_every if resync_every is not None
+                             else self.cfg.context_frames)
 
         if params is None:
             if checkpoint_npz:
@@ -65,8 +70,18 @@ class VapEngine:
         elif path == "full":
             self._step = jax.jit(streaming.stream_step, static_argnums=3)
             self.state = streaming.init_stream_state(self.cfg, batch, dtype)
+        elif path == "hybrid":
+            n = self.resync_every
+
+            def _hstep(p, st, ch, c, act=None):
+                return incremental.hybrid_step(p, st, ch, c, act, n)
+
+            self._step = jax.jit(_hstep, static_argnums=3)
+            self.state = incremental.init_hybrid_state(self.cfg, batch,
+                                                       dtype)
         else:
-            raise ValueError(f"unknown path {path!r} (use 'kv' or 'full')")
+            raise ValueError(
+                f"unknown path {path!r} (use 'kv', 'full', or 'hybrid')")
 
         # latest results, reference-style fields (vap_main.py:235-241)
         self.result: Dict[str, Any] = {}

@@ -141,10 +141,7 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
     all streams tick together from birth.
     """
     B = chunk.shape[0]
-    D, T, H = cfg.dim, cfg.context_frames, cfg.num_heads
-    Dh = cfg.head_dim
-    layout = cache_layout(cfg)
-    offset = {name: i * D for i, name in enumerate(layout)}
+    D = cfg.dim
     dtype = state.cache.dtype
     if active is None:
         active = jnp.ones((B,), bool)
@@ -155,6 +152,22 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
         params["encoder"], flat, state.lstm_h.reshape(B * 2, -1),
         state.lstm_c.reshape(B * 2, -1), cfg.downsample_kernel)
     e = e.reshape(B, 2, D).astype(dtype)
+    return _kv_core(params, state, e, h_new.reshape(B, 2, D),
+                    c_new.reshape(B, 2, D), cfg, active, slots)
+
+
+def _kv_core(params: Params, state: KVState, e: jax.Array,
+             h_new: jax.Array, c_new: jax.Array, cfg: VapConfig,
+             active: jax.Array, slots: str
+             ) -> Tuple[KVState, Dict[str, jax.Array]]:
+    """Post-encoder incremental step: e (B, 2, D) fresh embeddings ->
+    single-query attentions over the fused cache + one slot write."""
+    B = e.shape[0]
+    D, T, H = cfg.dim, cfg.context_frames, cfg.num_heads
+    Dh = cfg.head_dim
+    layout = cache_layout(cfg)
+    offset = {name: i * D for i, name in enumerate(layout)}
+    dtype = state.cache.dtype
 
     # ages of cached rows relative to the current frame (age 0 = current,
     # written at the END of this step), measured in each stream's OWN
@@ -293,15 +306,202 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
     a_state = active[:, None, None]
     new_state = KVState(
         cache=cache,
-        lstm_h=jnp.where(a_state, h_new.reshape(B, 2, D).astype(dtype),
-                         state.lstm_h),
-        lstm_c=jnp.where(a_state, c_new.reshape(B, 2, D).astype(dtype),
-                         state.lstm_c),
+        lstm_h=jnp.where(a_state, h_new.astype(dtype), state.lstm_h),
+        lstm_c=jnp.where(a_state, c_new.astype(dtype), state.lstm_c),
         count=state.count + active.astype(jnp.int32),
         stamp=stamp,
         step=g + 1,
     )
     return new_state, {k: v[:, -1] for k, v in probs.items()}
+
+
+# ---------------------------------------------------------------------------
+# Hybrid path: incremental KV with periodic full-recompute resync
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass
+class HybridState:
+    """KVState plus the raw embedding ring needed to rebuild the cache.
+
+    e_ctx: (B, 2, T, D) right-aligned embedding ring (newest at T-1) —
+    encoder outputs are path-independent, so a full-trunk recompute from
+    this ring reproduces the parity-exact (`stream_step`) values and
+    flushes the StreamingLLM drift of the cached K/V.
+    """
+
+    kv: KVState
+    e_ctx: jax.Array
+
+
+def init_hybrid_state(cfg: VapConfig, batch: int = 1,
+                      dtype=jnp.float32) -> HybridState:
+    D, T = cfg.dim, cfg.context_frames
+    return HybridState(
+        kv=init_kv_state(cfg, batch, dtype),
+        e_ctx=jnp.zeros((batch, 2, T, D), dtype),
+    )
+
+
+def _trunk_rows(params: Params, e_ctx: jax.Array, count: jax.Array,
+                cfg: VapConfig):
+    """Full masked trunk over the right-aligned embedding ring, capturing
+    every sublayer's K/V (same values `kv_step` would have cached had no
+    frame ever been dropped).
+
+    Returns (probs_last: {name: (B, ...)}, rows: (B, T, n_slots*D) in
+    ring order j=0..T-1 (oldest..newest)).  Mirrors
+    streaming.trunk_full/_masked_layer with K/V capture; reference
+    semantics rvap/vap_main/vap_main.py:272-307.
+    """
+    from vap_realtime_tpu.runtime.streaming import _masked_bias
+
+    B, _, T, D = e_ctx.shape
+    H = cfg.num_heads
+    Dh = cfg.head_dim
+    valid = jnp.minimum(count, T)
+    base, key_ok = _masked_bias(cfg, valid, e_ctx.dtype)
+    eye = jnp.eye(T, dtype=bool)
+    allowed = key_ok[:, None, None, :] | eye[None, None]   # (B,1,T,T)
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
+    captured: Dict[str, jax.Array] = {}
+
+    def attn(p, q_in, kv_in, k_name, v_name):
+        q = linear(q_in, p["q"])
+        k = linear(kv_in, p["k"])
+        v = linear(kv_in, p["v"])
+        captured[k_name], captured[v_name] = k, v
+        split = lambda t: t.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+        qh, kh, vh = split(q), split(k), split(v)
+        s = jnp.einsum("bhid,bhjd->bhij", qh, kh,
+                       preferred_element_type=jnp.float32)
+        s = s * (1.0 / math.sqrt(D))
+        s = jnp.where(allowed, s + base[None].astype(jnp.float32), neg)
+        a = jax.nn.softmax(s, axis=-1)
+        y = jnp.einsum("bhij,bhjd->bhid", a.astype(q_in.dtype), vh,
+                       preferred_element_type=jnp.float32)
+        y = y.transpose(0, 2, 1, 3).reshape(B, T, D).astype(q_in.dtype)
+        return linear(y, p["proj"])
+
+    def self_attn(x, layer, kn, vn):
+        z = layer_norm(x, layer["ln_self"]["w"], layer["ln_self"]["b"])
+        return attn(layer["attn"], z, z, kn, vn)
+
+    def cross_attn(x, src, layer, kn, vn):
+        z = layer_norm(x, layer["ln_src"]["w"], layer["ln_src"]["b"])
+        return attn(layer["attn_cross"], z, src, kn, vn)
+
+    def ffn(x, layer):
+        h = layer_norm(x, layer["ln_ffn"]["w"], layer["ln_ffn"]["b"])
+        return x + linear(gelu(linear(h, layer["ffn"]["w1"])),
+                          layer["ffn"]["w2"])
+
+    xs = [e_ctx[:, 0], e_ctx[:, 1]]
+    for li, layer in enumerate(params["ar_channel"]["layers"]):
+        for ch in (0, 1):
+            a = self_attn(xs[ch], layer, f"ch{li}.{ch}.k", f"ch{li}.{ch}.v")
+            xs[ch] = ffn(xs[ch] + a, layer)
+    o1, o2 = xs
+
+    x1, x2 = o1, o2
+    for li, layer in enumerate(params["ar"]["layers"]):
+        pre = (x1, x2)
+        new = []
+        for tw in (0, 1):
+            x, other = pre[tw], pre[1 - tw]
+            x = x + self_attn(x, layer, f"x{li}.{tw}.sk", f"x{li}.{tw}.sv")
+            c = cross_attn(x, other, layer, f"x{li}.{tw}.ck",
+                           f"x{li}.{tw}.cv")
+            x = ffn(x + c, layer)
+            new.append(x)
+        x1, x2 = new
+
+    xc = combinator(params["ar"]["combinator"], x1, x2)
+    trunk = {"x": xc, "o1": o1, "o2": o2, "x1": x1, "x2": x2}
+    outs = heads_forward(params, trunk, cfg)
+    probs = probs_from_outputs(outs, cfg)
+    rows = jnp.concatenate([captured[n] for n in cache_layout(cfg)],
+                           axis=-1)                        # (B, T, nD)
+    return {k: v[:, -1] for k, v in probs.items()}, rows
+
+
+def hybrid_step(params: Params, state: HybridState, chunk: jax.Array,
+                cfg: VapConfig, active: jax.Array | None = None,
+                resync_every: int = 0
+                ) -> Tuple[HybridState, Dict[str, jax.Array]]:
+    """Incremental KV step with periodic full-recompute resync.
+
+    Every `resync_every`-th tick (global cadence; 0 = never) the trunk
+    is recomputed from the raw embedding ring: that frame's outputs are
+    PARITY-EXACT (identical to `stream_step`) and the whole fused cache
+    is rewritten with drift-free K/V, so inter-resync deviation is
+    bounded by at most `resync_every` frames of StreamingLLM drift
+    instead of growing with stream length.  Costs one O(T^2) trunk per
+    resync (amortized: +T/resync_every relative FLOPs).
+    """
+    B = chunk.shape[0]
+    D, T = cfg.dim, cfg.context_frames
+    dtype = state.kv.cache.dtype
+    if active is None:
+        active = jnp.ones((B,), bool)
+
+    flat = chunk.reshape(B * 2, -1)
+    e, h_new, c_new = encode_chunk(
+        params["encoder"], flat, state.kv.lstm_h.reshape(B * 2, -1),
+        state.kv.lstm_c.reshape(B * 2, -1), cfg.downsample_kernel)
+    e = e.reshape(B, 2, D).astype(dtype)
+    h_new = h_new.reshape(B, 2, D)
+    c_new = c_new.reshape(B, 2, D)
+
+    # append to the embedding ring (frozen streams unchanged)
+    rolled = jnp.roll(state.e_ctx, -1, axis=2).at[:, :, -1, :].set(e)
+    e_ctx = jnp.where(active[:, None, None, None], rolled, state.e_ctx)
+
+    def incr(_):
+        kv2, outs = _kv_core(params, state.kv, e, h_new, c_new, cfg,
+                             active, "stream")
+        return kv2, outs
+
+    def resync(_):
+        kv = state.kv
+        count2 = kv.count + active.astype(jnp.int32)
+        probs, rows = _trunk_rows(params, e_ctx, count2, cfg)
+        # realign ring order j to each stream's OWN slot c_j % T where
+        # c_j = count2-1 - (T-1-j); reads are stamp-based so only the
+        # eviction order needs this alignment with future kv writes.
+        s = jnp.arange(T)[None, :]
+        jj = (s - count2[:, None]) % T                     # row for slot s
+        cache2 = jnp.take_along_axis(rows, jj[..., None], axis=1)
+        c_at = count2[:, None] - 1 - (T - 1 - jj)          # frame idx (B,T)
+        stamp2 = jnp.where(c_at >= 0, c_at, -1)
+        a = active[:, None, None]
+        kv2 = KVState(
+            cache=cache2.astype(dtype),
+            lstm_h=jnp.where(a, h_new.astype(dtype), kv.lstm_h),
+            lstm_c=jnp.where(a, c_new.astype(dtype), kv.lstm_c),
+            count=count2,
+            stamp=stamp2,
+            step=kv.step + 1,
+        )
+        return kv2, probs
+
+    if resync_every > 0:
+        is_resync = (state.kv.step + 1) % resync_every == 0
+        kv2, outs = jax.lax.cond(is_resync, resync, incr, None)
+    else:
+        kv2, outs = incr(None)
+    return HybridState(kv=kv2, e_ctx=e_ctx), outs
+
+
+def run_frames_hybrid(params: Params, state: HybridState, frames: jax.Array,
+                      cfg: VapConfig, resync_every: int):
+    """`lax.scan` of hybrid_step over (F, B, 2, frame_samples)."""
+
+    def body(st, chunk):
+        return hybrid_step(params, st, chunk, cfg,
+                           resync_every=resync_every)
+
+    return jax.lax.scan(body, state, frames)
 
 
 def run_frames_kv(params: Params, state: KVState, frames: jax.Array,

@@ -36,6 +36,11 @@ def run_offline(params, audio: np.ndarray, cfg: VapConfig,
     if path == "kv":
         state = incremental.init_kv_state(cfg, 1)
         run = jax.jit(incremental.run_frames_kv, static_argnums=3)
+    elif path == "hybrid":
+        state = incremental.init_hybrid_state(cfg, 1)
+        run = jax.jit(
+            lambda p, st, fr, c: incremental.run_frames_hybrid(
+                p, st, fr, c, c.context_frames), static_argnums=3)
     else:
         state = streaming.init_stream_state(cfg, 1)
         run = jax.jit(streaming.run_frames, static_argnums=3)
@@ -72,7 +77,7 @@ def main(argv: Optional[list] = None) -> None:
     ap.add_argument("--input_wav_right", type=str, required=True)
     ap.add_argument("--vap_process_rate", type=int, default=20)
     ap.add_argument("--context_len_sec", type=float, default=2.5)
-    ap.add_argument("--engine_path", choices=["full", "kv"], default="full",
+    ap.add_argument("--engine_path", choices=["full", "kv", "hybrid"], default="full",
                     help="'full' = parity-exact recompute, 'kv' = "
                          "incremental KV cache")
     args = ap.parse_args(argv)

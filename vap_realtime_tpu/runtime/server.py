@@ -186,7 +186,7 @@ def main(argv=None):
     ap.add_argument("--context_len_sec", type=float, default=2.5)
     ap.add_argument("--audio_gain", type=float, default=1.0)
     ap.add_argument("--mode", choices=["vap", "bc", "nod"], default="vap")
-    ap.add_argument("--engine_path", choices=["full", "kv"], default="kv")
+    ap.add_argument("--engine_path", choices=["full", "kv", "hybrid"], default="kv")
     args = ap.parse_args(argv)
 
     cfg = VapConfig(frame_hz=args.vap_process_rate,

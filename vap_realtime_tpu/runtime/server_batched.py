@@ -177,7 +177,7 @@ def main(argv=None):
     ap.add_argument("--vap_process_rate", type=int, default=20)
     ap.add_argument("--context_len_sec", type=float, default=2.5)
     ap.add_argument("--mode", choices=["vap", "bc", "nod"], default="vap")
-    ap.add_argument("--engine_path", choices=["full", "kv"], default="kv")
+    ap.add_argument("--engine_path", choices=["full", "kv", "hybrid"], default="kv")
     ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args(argv)
 

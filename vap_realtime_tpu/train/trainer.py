@@ -197,9 +197,9 @@ def fit(vap_cfg: VapConfig, data_cfg: DataConfig, opt_cfg: OptConfig,
         event_cfg: Optional[EventConfig] = None,
         ckpt_dir: str = "runs/vap", init_params=None,
         resume_from: Optional[str] = None, augment: bool = False,
-        log_fn=print) -> Dict[str, float]:
+        n_devices: Optional[int] = None, log_fn=print) -> Dict[str, float]:
     os.makedirs(ckpt_dir, exist_ok=True)
-    mesh = make_mesh()
+    mesh = make_mesh(n_devices)
     rng = jax.random.PRNGKey(opt_cfg.seed)
 
     resume = None
