@@ -4,19 +4,36 @@ Measures the batched streaming step (flagship vap_main 20 Hz / 2.5 s
 context) in steady state on the default JAX device and reports how many
 concurrent real-time 16 kHz stereo dialogue streams one chip sustains
 (batch size x frame_period / step_time, maximized over batch size and
-over the two serving paths: parity-exact full recompute and incremental
-KV cache).
+over the serving paths).
+
+Serving paths (see runtime/incremental.py):
+- full    parity-exact full recompute
+- kv      incremental fused-KV cache
+- fast    seamless streaming conv + KV (fresh samples only, no 320-
+          sample overlap recompute)
+- *_pallas  same with the fused single-query attention kernel
+            (ops/pallas/attend.py)
 
 Baseline: the reference serves ONE stream per process and is qualitatively
 "real-time on CPU" (README.md:26; measured ~28 ms/frame on this host's
 CPU, RTF 0.56 at 20 Hz) => baseline = 1 concurrent stream.
 
 Prints exactly one JSON line on stdout.
+
+Env knobs:
+  BENCH_BATCHES=4096[,8192]     batch sizes to sweep
+  BENCH_VARIANTS=fast_pallas_bf16[,kv_bf16,...]   variants to run
+  BENCH_GRID=grid.json          ALSO run the pinned regression matrix
+                                ({10,20,50} Hz x {kv,full} x
+                                {vap,bc,nod}) and write it as JSON
+  BENCH_PROFILE=dir             write a TensorBoard trace
 """
 
 from __future__ import annotations
 
+import functools
 import json
+import os
 import sys
 import time
 
@@ -30,7 +47,8 @@ def log(*a):
 
 
 def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
-                 f_short: int = 4, f_long: int = 24) -> float:
+                 chunk_samples: int, f_short: int = 4, f_long: int = 24
+                 ) -> float:
     """Steady-state seconds per batched frame-step.
 
     NOTE on methodology: through the axon TPU relay `block_until_ready`
@@ -42,7 +60,7 @@ def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
     """
     rng = np.random.RandomState(0)
     chunk = jnp.asarray(
-        rng.randn(batch, 2, cfg.frame_samples).astype(np.float32) * 0.1)
+        rng.randn(batch, 2, chunk_samples).astype(np.float32) * 0.1)
     state0 = init_state_fn(cfg, batch)
     dtype = jax.tree_util.tree_leaves(state0)[0].dtype
     chunk = chunk.astype(dtype)
@@ -77,66 +95,129 @@ def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
     return max((t_long - t_short) / (f_long - f_short), 1e-9)
 
 
-def main():
-    from vap_realtime_tpu.config import VapConfig
-    from vap_realtime_tpu.runtime.incremental import init_kv_state, kv_step
+def variant(name: str):
+    """name -> (step_fn, init_fn, chunk_kind, dtype).
+
+    Names: {full,kv,fast,hybrid}[_pallas]_{f32,bf16}
+    chunk_kind: "frame" (16000//hz + 320) or "shift" (16000//hz).
+    """
+    from vap_realtime_tpu.runtime.incremental import (
+        fast_step, hybrid_step, init_fast_state, init_hybrid_state,
+        init_kv_state, kv_step,
+    )
     from vap_realtime_tpu.runtime.streaming import (
         init_stream_state, stream_step,
     )
-    from vap_realtime_tpu.weights.synthetic import synthetic_params
 
-    import functools
-    import os
+    parts = name.split("_")
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[parts[-1]]
+    attend = "pallas" if "pallas" in parts else "einsum"
+    path = parts[0]
+    if path == "full":
+        return stream_step, init_stream_state, "frame", dtype
+    if path == "kv":
+        step = functools.partial(kv_step, slots="global",
+                                 attend_impl=attend)
+        return step, init_kv_state, "frame", dtype
+    if path == "fast":
+        step = functools.partial(fast_step, slots="global",
+                                 attend_impl=attend)
+        return step, init_fast_state, "shift", dtype
+    if path == "hybrid":
+        def step(p, s, c, cfg):
+            return hybrid_step(p, s, c, cfg,
+                               resync_every=cfg.context_frames)
+        return step, init_hybrid_state, "frame", dtype
+    raise ValueError(name)
+
+
+def run_variant(name: str, cfg, params_by_dtype, batch: int):
+    step, init, kind, dtype = variant(name)
+    chunk_samples = (cfg.frame_samples if kind == "frame"
+                     else cfg.frame_shift)
+    init_d = functools.partial(init, dtype=dtype)
+    params = params_by_dtype[dtype]
+    dt = measure_path(step, init_d, params, cfg, batch, chunk_samples)
+    return dt
+
+
+def main():
+    from vap_realtime_tpu.config import VapConfig
+    from vap_realtime_tpu.weights.synthetic import synthetic_params
 
     cfg = VapConfig(frame_hz=20, context_len_sec=2.5)
     frame_period = 1.0 / cfg.frame_hz
-    params_f32 = jax.device_put(
-        jax.tree_util.tree_map(jnp.asarray, synthetic_params(20)))
-    params_bf16 = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16), params_f32)
 
+    def params_for(frame_hz, mode="vap"):
+        p32 = jax.device_put(jax.tree_util.tree_map(
+            jnp.asarray, synthetic_params(frame_hz, mode=mode)))
+        return {jnp.float32: p32,
+                jnp.bfloat16: jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16), p32)}
+
+    params = params_for(20)
     log(f"device: {jax.devices()[0]}")
 
     batches = [int(b) for b in
                os.environ.get("BENCH_BATCHES", "4096").split(",")]
-    variants = {
-        "full_recompute_bf16": (stream_step, functools.partial(
-            init_stream_state, dtype=jnp.bfloat16), params_bf16, batches),
-        "kv_incremental_bf16": (kv_step, functools.partial(
-            init_kv_state, dtype=jnp.bfloat16), params_bf16, batches),
-        "full_recompute_f32": (stream_step, init_stream_state, params_f32,
-                               batches),
-        "kv_incremental_f32": (kv_step, init_kv_state, params_f32,
-                               batches),
-    }
     # default: only the winning path (remote compiles are slow; the full
     # matrix is one env var away: BENCH_VARIANTS=...)
-    keep = os.environ.get("BENCH_VARIANTS",
-                          "kv_incremental_bf16").split(",")
-    variants = {k: v for k, v in variants.items() if k in keep}
+    keep = os.environ.get("BENCH_VARIANTS", "fast_pallas_bf16").split(",")
 
     best = 0.0
     best_desc = ""
-    for name, (step, init, params, bs) in variants.items():
-        for B in bs:
+    for name in keep:
+        for B in batches:
             try:
-                dt = measure_path(step, init, params, cfg, B)
+                dt = run_variant(name, cfg, params, B)
             except Exception as e:  # OOM etc.
-                log(f"{name} B={B}: failed ({type(e).__name__})")
+                log(f"{name} B={B}: failed ({type(e).__name__}: {e})")
                 break
             streams = B * frame_period / dt
             rtf = dt / frame_period
-            log(f"{name} B={B}: {dt*1e3:.2f} ms/step, batch-RTF={rtf:.3f}, "
-                f"=> {streams:,.0f} realtime streams/chip")
+            log(f"{name} B={B}: {dt*1e3:.2f} ms/step, batch-RTF={rtf:.3f},"
+                f" => {streams:,.0f} realtime streams/chip")
             if streams > best:
                 best, best_desc = streams, f"{name} B={B}"
 
+    grid_out = os.environ.get("BENCH_GRID")
+    if grid_out:
+        # pinned regression matrix: {10,20,50} Hz x {kv,full} x
+        # {vap,bc,nod}, one batch size, bf16 (VERDICT r1 item 9)
+        gB = int(os.environ.get("BENCH_GRID_BATCH", "1024"))
+        grid = {}
+        for hz, ctx in [(10, 5.0), (20, 2.5), (50, 1.0)]:
+            for mode in ("vap", "bc", "nod"):
+                gcfg = VapConfig(frame_hz=hz, context_len_sec=ctx,
+                                 mode=mode)
+                gparams = params_for(hz, mode)
+                for path in ("kv", "full"):
+                    key = f"{path}_{mode}_{hz}hz"
+                    try:
+                        dt = run_variant(f"{path}_bf16", gcfg, gparams, gB)
+                    except Exception as e:
+                        grid[key] = {"error": f"{type(e).__name__}"}
+                        continue
+                    grid[key] = {
+                        "ms_per_step": round(dt * 1e3, 3),
+                        "batch": gB,
+                        "streams_per_chip": round(gB / (dt * hz)),
+                    }
+                    log(f"[grid] {key}: {dt*1e3:.2f} ms/step")
+        with open(grid_out, "w") as f:
+            json.dump(grid, f, indent=2, sort_keys=True)
+        log(f"grid written to {grid_out}")
+
     if os.environ.get("BENCH_PROFILE"):
         # one profiled window of the winning path for TensorBoard
-        name, (step, init, params_v, bs) = next(iter(variants.items()))
+        name = keep[0]
+        step, init, kind, dtype = variant(name)
+        chunk_samples = (cfg.frame_samples if kind == "frame"
+                         else cfg.frame_shift)
         with jax.profiler.trace(os.environ["BENCH_PROFILE"]):
-            measure_path(step, init, params_v, cfg, bs[0], f_short=2,
-                         f_long=6)
+            measure_path(step, functools.partial(init, dtype=dtype),
+                         params[dtype], cfg, batches[0], chunk_samples,
+                         f_short=2, f_long=6)
         log(f"profile trace written to {os.environ['BENCH_PROFILE']}")
 
     log(f"best: {best_desc} -> {best:,.0f} streams/chip")

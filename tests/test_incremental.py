@@ -144,6 +144,72 @@ def test_kv_deviation_quantified_on_trained_weights(trained_params):
     assert dev_h <= dev_kv + 1e-6
 
 
+@pytest.mark.parametrize("frame_hz", [10, 20, 50])
+def test_streaming_conv_equals_seamless_oracle(frame_hz):
+    """Fast-path encoder: frame-by-frame streaming conv (carried input
+    tails) == ONE seamless valid conv over the whole stream, exactly."""
+    from vap_realtime_tpu.models.encoder import (
+        encode_chunk_streaming, encode_sequence_streaming_oracle,
+        init_conv_stream_state,
+    )
+
+    cfg = VapConfig(frame_hz=frame_hz, context_len_sec=1.0)
+    params = synthetic_params(frame_hz=frame_hz)["encoder"]
+    audio = synthetic_audio(16000 * 2)[0:1]          # (1, L)
+    wav = jnp.asarray(audio)
+
+    oracle = encode_sequence_streaming_oracle(params, wav,
+                                              cfg.downsample_kernel)
+
+    conv_st = init_conv_stream_state(1)
+    h = jnp.zeros((1, 256))
+    c = jnp.zeros((1, 256))
+    shift = cfg.frame_shift
+    es = []
+    for i in range(wav.shape[1] // shift):
+        e, conv_st, h, c = encode_chunk_streaming(
+            params, wav[:, i * shift:(i + 1) * shift], conv_st, h, c,
+            cfg.downsample_kernel)
+        es.append(e)
+    got = jnp.stack(es, axis=1)                       # (1, F, C)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(oracle[:, :got.shape[1]]),
+                               atol=2e-5)
+
+
+def test_fast_path_tracks_reference_numerics():
+    """fast_step (streaming conv + KV) stays close to the parity path on
+    the same audio: different-but-equivalent encoder numerics must not
+    change the predictions materially (regression bound)."""
+    from vap_realtime_tpu.runtime.incremental import (
+        init_fast_state, run_frames_fast,
+    )
+
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    params = synthetic_params(frame_hz=20)
+    audio = synthetic_audio(16000 * 3)
+
+    frames = jnp.asarray(frame_audio(audio, cfg)[:, None])
+    run_full = jax.jit(run_frames, static_argnums=3)
+    _, full = run_full(params, init_stream_state(cfg, 1), frames, cfg)
+
+    shift = cfg.frame_shift
+    F = frames.shape[0]
+    # fast path consumes fresh samples only; frame k of the reference
+    # windowing ends at 800k+1120 = fast frame k+1's boundary + 320
+    fresh = np.stack([audio[:, i * shift:(i + 1) * shift]
+                      for i in range(F + 1)])[:, None]
+    run_fast = jax.jit(run_frames_fast, static_argnums=3)
+    _, fast = run_fast(params, init_fast_state(cfg, 1),
+                       jnp.asarray(fresh), cfg)
+
+    p_full = np.asarray(full["p_now"])[:, 0]
+    p_fast = np.asarray(fast["p_now"])[1:, 0]        # alignment: +1 frame
+    d = np.abs(p_full - p_fast)
+    assert np.isfinite(p_fast).all()
+    assert d.mean() < 0.05 and d.max() < 0.2, (d.mean(), d.max())
+
+
 def test_batch_consistency():
     # batched streams produce identical results to batch=1
     cfg = VapConfig(frame_hz=20, context_len_sec=2.5)

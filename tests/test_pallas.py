@@ -61,3 +61,80 @@ def test_lstm_kernel_parity():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(hT1), np.asarray(hT0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(cT1), np.asarray(cT0), atol=1e-5)
+
+
+class TestFusedAttend:
+    """Pallas fused single-query KV-step attention (ops/pallas/attend.py)
+    vs the einsum reference, interpret mode on CPU."""
+
+    def _inputs(self, B=8, T=12, n=6, D=256, seed=0):
+        import numpy as np
+        import jax.numpy as jnp
+        rs = np.random.RandomState(seed)
+        cache = jnp.asarray(rs.randn(B, T, n * D).astype(np.float32) * 0.3)
+        q = jnp.asarray(rs.randn(B, D).astype(np.float32) * 0.3)
+        kc = jnp.asarray(rs.randn(B, D).astype(np.float32) * 0.3)
+        vc = jnp.asarray(rs.randn(B, D).astype(np.float32) * 0.3)
+        # realistic ages incl. dead rows
+        age = rs.randint(1, T + 1, size=(B, T)).astype(np.float32)
+        age[:, -2:] = 2e9  # dead rows
+        return cache, q, kc, vc, jnp.asarray(age)
+
+    def test_matches_einsum_reference(self):
+        import numpy as np
+        from vap_realtime_tpu.ops.pallas.attend import (
+            attend_reference, fused_attend,
+        )
+
+        cache, q, kc, vc, age = self._inputs()
+        for slot_k, slot_v in [(0, 1), (4, 5)]:
+            got = fused_attend(cache, q, kc, vc, age, slot_k=slot_k,
+                               slot_v=slot_v, block=8, interpret=True)
+            want = attend_reference(cache, q, kc, vc, age, slot_k=slot_k,
+                                    slot_v=slot_v)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5)
+
+    def test_all_rows_dead(self):
+        """Cold start: only the current position is attendable."""
+        import numpy as np
+        import jax.numpy as jnp
+        from vap_realtime_tpu.ops.pallas.attend import fused_attend
+
+        cache, q, kc, vc, age = self._inputs()
+        age = jnp.full_like(age, 2e9)
+        got = fused_attend(cache, q, kc, vc, age, slot_k=0, slot_v=1,
+                           block=8, interpret=True)
+        # softmax collapses onto the current position -> out == v_cur
+        np.testing.assert_allclose(np.asarray(got), np.asarray(vc),
+                                   atol=2e-5)
+
+    def test_kv_step_pallas_equals_einsum(self):
+        """Full kv_step with attend_impl='pallas' (interpret) == einsum."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from vap_realtime_tpu.config import VapConfig
+        from vap_realtime_tpu.runtime.incremental import init_kv_state, kv_step
+        from vap_realtime_tpu.runtime.streaming import frame_audio
+        from vap_realtime_tpu.weights.synthetic import (
+            synthetic_audio, synthetic_params,
+        )
+
+        cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+        params = synthetic_params(frame_hz=20)
+        frames = frame_audio(synthetic_audio(16000), cfg)[:, None]
+
+        step_e = jax.jit(lambda p, s, c: kv_step(p, s, c, cfg))
+        step_p = jax.jit(lambda p, s, c: kv_step(p, s, c, cfg,
+                                                 attend_impl="pallas"))
+        se = sp = init_kv_state(cfg, 1)
+        for f in frames[:6]:
+            se, oe = step_e(params, se, jnp.asarray(f))
+            sp, op = step_p(params, sp, jnp.asarray(f))
+            np.testing.assert_allclose(np.asarray(op["p_now"]),
+                                       np.asarray(oe["p_now"]), atol=2e-5)
+            np.testing.assert_allclose(np.asarray(op["vad"]),
+                                       np.asarray(oe["vad"]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(sp.cache),
+                                   np.asarray(se.cache), atol=1e-5)

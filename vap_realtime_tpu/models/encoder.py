@@ -131,6 +131,98 @@ def encode_chunk(params: Params, wav: jax.Array, h0: jax.Array,
     return e[:, 0, :], h_new, c_new
 
 
+# ---------------------------------------------------------------------------
+# Seamless streaming conv (fast serving path)
+# ---------------------------------------------------------------------------
+# The reference recomputes a 320-sample left-context overlap through the
+# conv stack every frame and trims the chunk-edge garbage (28% of the
+# conv FLOPs, SURVEY §7.1 item 1).  The fast path instead carries each
+# conv layer's last (kernel - stride) inputs across frames and runs a
+# VALID convolution over only the NEW samples: mathematically identical
+# to one seamless valid conv over the whole stream (ChannelNorm is
+# per-time-step across channels, encoder_components.py:62-70, so it
+# streams exactly).  Numerics differ from the reference's per-chunk
+# zero-pad+trim recipe only near the stream start (zero carries ~ a
+# k-s left pad) and by the 320-sample look-back alignment; the chunked
+# path remains the parity oracle.
+
+CPC_CONV_CARRY = tuple(k - s for k, s, _ in CPC_CONV_SPECS)  # (5,4,2,2,2)
+
+
+def init_conv_stream_state(batch: int, dim: int = 256,
+                           dtype=jnp.float32) -> Params:
+    """Per-layer input tails for the seamless streaming conv stack.
+
+    batch counts CHANNEL-streams (B*2 when called per stereo stream).
+    """
+    st: Params = {}
+    in_ch = 1
+    for i, c in enumerate(CPC_CONV_CARRY):
+        st[f"c{i}"] = jnp.zeros((batch, in_ch, c), dtype)
+        in_ch = dim
+    return st
+
+
+def cpc_conv_stack_streaming(params: Params, new: jax.Array,
+                             state: Params):
+    """Seamless strided conv over the NEW samples only.
+
+    new: (B, L_new) with stride-aligned L_new (one frame's fresh samples,
+    16000//frame_hz).  Returns ((B, L_new/160, C) features, new_state).
+    """
+    x = new[:, None, :]
+    new_state: Params = {}
+    for i, (k, s, _pad) in enumerate(CPC_CONV_SPECS):
+        x = jnp.concatenate([state[f"c{i}"].astype(x.dtype), x], axis=-1)
+        new_state[f"c{i}"] = x[..., x.shape[-1] - (k - s):]
+        c, n = params[f"conv{i}"], params[f"norm{i}"]
+        x = conv1d(x, c["w"], c["b"], stride=s, padding=0)
+        x = channel_norm(x, n["w"], n["b"])
+        x = jax.nn.relu(x)
+    return jnp.swapaxes(x, 1, 2), new_state  # (B, L_new/160, C)
+
+
+def encode_chunk_streaming(params: Params, new: jax.Array, conv_state: Params,
+                           h0: jax.Array, c0: jax.Array,
+                           downsample_kernel: int):
+    """Fast-path chunk encoder: ONLY the frame's fresh samples.
+
+    new: (B, 16000//frame_hz); h0, c0: (B, C) LSTM state.
+    Returns (emb (B, C), new_conv_state, h_new, c_new).
+
+    vs `encode_chunk`: no overlap recompute, no per-chunk zero-pad
+    edges, no 1:-1 trim (there are no edges to trim) — each frame costs
+    ~72% of the chunked conv FLOPs and its embedding summarizes audio
+    ending at the frame boundary (the chunked path's embedding ends 320
+    samples later; one-off alignment, documented fast-path semantics).
+    """
+    z, conv_state = cpc_conv_stack_streaming(params, new, conv_state)
+    y, h_new, c_new = cpc_context(params, z, h0, c0)
+    e = downsample(params, y, downsample_kernel)
+    return e[:, 0, :], conv_state, h_new, c_new
+
+
+def encode_sequence_streaming_oracle(params: Params, wav: jax.Array,
+                                     downsample_kernel: int) -> jax.Array:
+    """Reference implementation of the streaming-conv numerics: ONE
+    seamless valid conv over the whole stream with a (k-s) zero left pad
+    per layer (== running `encode_chunk_streaming` frame by frame).
+    Test oracle only.
+    """
+    x = wav[:, None, :]
+    for i, (k, s, _pad) in enumerate(CPC_CONV_SPECS):
+        pad = jnp.zeros(x.shape[:-1] + (k - s,), x.dtype)
+        x = jnp.concatenate([pad, x], axis=-1)
+        c, n = params[f"conv{i}"], params[f"norm{i}"]
+        x = conv1d(x, c["w"], c["b"], stride=s, padding=0)
+        x = channel_norm(x, n["w"], n["b"])
+        x = jax.nn.relu(x)
+    z = jnp.swapaxes(x, 1, 2)
+    zeros = jnp.zeros((wav.shape[0], z.shape[-1]), z.dtype)
+    y, _, _ = cpc_context(params, z, zeros, zeros)
+    return downsample(params, y, downsample_kernel)
+
+
 def encode_sequence_limited(params: Params, wav: jax.Array,
                             downsample_kernel: int,
                             limit_sec: float,

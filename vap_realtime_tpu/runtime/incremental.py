@@ -123,7 +123,7 @@ def init_kv_state(cfg: VapConfig, batch: int = 1,
 
 def kv_step(params: Params, state: KVState, chunk: jax.Array,
             cfg: VapConfig, active: jax.Array | None = None,
-            slots: str = "stream"
+            slots: str = "stream", attend_impl: str = "einsum"
             ) -> Tuple[KVState, Dict[str, jax.Array]]:
     """One incremental frame: chunk (B, 2, frame_samples) -> probabilities.
 
@@ -153,15 +153,21 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
         state.lstm_c.reshape(B * 2, -1), cfg.downsample_kernel)
     e = e.reshape(B, 2, D).astype(dtype)
     return _kv_core(params, state, e, h_new.reshape(B, 2, D),
-                    c_new.reshape(B, 2, D), cfg, active, slots)
+                    c_new.reshape(B, 2, D), cfg, active, slots,
+                    attend_impl)
 
 
 def _kv_core(params: Params, state: KVState, e: jax.Array,
              h_new: jax.Array, c_new: jax.Array, cfg: VapConfig,
-             active: jax.Array, slots: str
+             active: jax.Array, slots: str, attend_impl: str = "einsum"
              ) -> Tuple[KVState, Dict[str, jax.Array]]:
     """Post-encoder incremental step: e (B, 2, D) fresh embeddings ->
-    single-query attentions over the fused cache + one slot write."""
+    single-query attentions over the fused cache + one slot write.
+
+    attend_impl: "einsum" (XLA) or "pallas" (ops/pallas/attend.py fused
+    kernel — same math, ~3x faster on TPU at serving batch sizes because
+    it avoids the 64-lane per-head relayouts; see PERF.md).
+    """
     B = e.shape[0]
     D, T, H = cfg.dim, cfg.context_frames, cfg.num_heads
     Dh = cfg.head_dim
@@ -179,6 +185,10 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
     live = (state.stamp >= 0) & (age <= max_age[:, None])   # (B, T)
     if cfg.context_limit > 0:
         live = live & (age < cfg.context_limit)
+    # dead rows are encoded as a huge age: the -age*m_h bias underflows
+    # to weight exactly 0 after softmax (shared by both attend impls)
+    from vap_realtime_tpu.ops.pallas.attend import DEAD, fused_attend
+    age_f = jnp.where(live, age.astype(jnp.float32), DEAD)  # (B, T)
     slopes = jnp.asarray(alibi_slopes(H), jnp.float32)      # (H,)
     # additive bias per (B, H, T): -age * m_h; current position bias = 0
     bias_old = jnp.where(live[:, None, :],
@@ -195,6 +205,11 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
         cache at this sub-layer's offsets.
         """
         ko, vo = offset[k_name], offset[v_name]
+        if attend_impl == "pallas":
+            return fused_attend(state.cache, q.astype(dtype),
+                                k_cur.astype(dtype), v_cur.astype(dtype),
+                                age_f, slot_k=ko // D, slot_v=vo // D,
+                                num_heads=H)
         k_old = state.cache[:, :, ko:ko + D]                 # (B, T, D)
         v_old = state.cache[:, :, vo:vo + D]
         # stay in the state dtype (bf16 in serving) — the dots accumulate
@@ -313,6 +328,84 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
         step=g + 1,
     )
     return new_state, {k: v[:, -1] for k, v in probs.items()}
+
+
+# ---------------------------------------------------------------------------
+# Fast path: seamless streaming conv + incremental KV
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass
+class FastState:
+    """KVState plus the streaming-conv input tails (fast serving path).
+
+    conv: per-layer (B*2, C, k-s) carried inputs — see
+    models/encoder.py `encode_chunk_streaming`.
+    """
+
+    kv: KVState
+    conv: Dict[str, jax.Array]
+
+
+def init_fast_state(cfg: VapConfig, batch: int = 1,
+                    dtype=jnp.float32) -> FastState:
+    from vap_realtime_tpu.models.encoder import init_conv_stream_state
+
+    return FastState(
+        kv=init_kv_state(cfg, batch, dtype),
+        conv=init_conv_stream_state(batch * 2, cfg.encoder_dim, dtype),
+    )
+
+
+def fast_step(params: Params, state: FastState, new: jax.Array,
+              cfg: VapConfig, active: jax.Array | None = None,
+              slots: str = "global", attend_impl: str = "einsum"
+              ) -> Tuple[FastState, Dict[str, jax.Array]]:
+    """One fast-path frame: new (B, 2, 16000//frame_hz) FRESH samples
+    only (no 320-sample overlap) -> probabilities.
+
+    Encoder = seamless streaming conv (72% of the chunked conv FLOPs,
+    zero overlap recompute); trunk = incremental KV attention.  Fast-path
+    numerics: identical to one seamless valid conv over the whole stream
+    (encode_sequence_streaming_oracle); deviates from the reference's
+    per-chunk pad+trim recipe near stream start and by the 320-sample
+    alignment — use `kv_step`/`stream_step` for reference numerics.
+    """
+    from vap_realtime_tpu.models.encoder import encode_chunk_streaming
+
+    B = new.shape[0]
+    D = cfg.dim
+    dtype = state.kv.cache.dtype
+    if active is None:
+        active = jnp.ones((B,), bool)
+
+    flat = new.reshape(B * 2, -1)
+    e, conv2, h_new, c_new = encode_chunk_streaming(
+        params["encoder"], flat, state.conv,
+        state.kv.lstm_h.reshape(B * 2, -1),
+        state.kv.lstm_c.reshape(B * 2, -1), cfg.downsample_kernel)
+    e = e.reshape(B, 2, D).astype(dtype)
+
+    act2 = jnp.repeat(active, 2)
+    conv2 = {k: jnp.where(act2[:, None, None], v.astype(dtype),
+                          state.conv[k])
+             for k, v in conv2.items()}
+    kv2, outs = _kv_core(params, state.kv, e,
+                         h_new.reshape(B, 2, D), c_new.reshape(B, 2, D),
+                         cfg, active, slots, attend_impl)
+    return FastState(kv=kv2, conv=conv2), outs
+
+
+def run_frames_fast(params: Params, state: FastState, frames: jax.Array,
+                    cfg: VapConfig, slots: str = "global",
+                    attend_impl: str = "einsum"):
+    """`lax.scan` of fast_step over (F, B, 2, frame_shift)."""
+
+    def body(st, chunk):
+        return fast_step(params, st, chunk, cfg, slots=slots,
+                         attend_impl=attend_impl)
+
+    return jax.lax.scan(body, state, frames)
 
 
 # ---------------------------------------------------------------------------
