@@ -111,7 +111,8 @@ def variant(name: str):
 
     parts = name.split("_")
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[parts[-1]]
-    attend = "pallas" if "pallas" in parts else "einsum"
+    attend = ("pallas" if "pallas" in parts
+              else "grouped" if "grouped" in parts else "einsum")
     path = parts[0]
     if path == "full":
         return stream_step, init_stream_state, "frame", dtype

@@ -62,9 +62,11 @@ def _kernel(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
     m = jnp.exp2(-8.0 * (hh.astype(f32) + 1.0) / H)        # (1, 1, H)
 
     # scores over cached rows: P = q*k elementwise, reduce per head group
-    P = k.astype(f32) * q.astype(f32)[:, None, :]          # (Bb, T, D)
+    # (P stays in the cache dtype to keep VMEM pressure low; the group
+    # reduction accumulates in f32 on the MXU)
+    P = k * q[:, None, :]                                  # (Bb, T, D)
     s = jax.lax.dot_general(
-        P.reshape(Bb * T, D), G,
+        P.reshape(Bb * T, D), G.astype(P.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32).reshape(Bb, T, H)      # (Bb, T, H)
     # dead rows carry age = DEAD (1e9): the -age*m_h bias is <= -3.9e6,
@@ -84,12 +86,13 @@ def _kernel(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
     w_cur = jnp.exp(s_cur - mx)                            # (Bb, H)
     denom = jnp.sum(w, axis=1) + w_cur                     # (Bb, H)
 
-    # back to D lanes: wfull[b,t,d] = w[b,t,head(d)]
+    # back to D lanes: wfull[b,t,d] = w[b,t,head(d)] — in the cache
+    # dtype, matching the einsum path's w.astype(dtype) cast
     wfull = jax.lax.dot_general(
-        w.reshape(Bb * T, H), G.T,
+        w.astype(v.dtype).reshape(Bb * T, H), G.astype(v.dtype).T,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32).reshape(Bb, T, D)
-    out = jnp.sum(wfull * v.astype(f32), axis=1)           # (Bb, D)
+        preferred_element_type=f32).astype(v.dtype).reshape(Bb, T, D)
+    out = jnp.sum(wfull * v, axis=1, dtype=f32)            # (Bb, D)
     out = out + jax.lax.dot_general(
         w_cur, G.T, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32) * vc_ref[:].astype(f32)
@@ -103,7 +106,7 @@ def _kernel(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
                                              "block", "interpret"))
 def fused_attend(cache: jax.Array, q: jax.Array, k_cur: jax.Array,
                  v_cur: jax.Array, age: jax.Array, *, slot_k: int,
-                 slot_v: int, num_heads: int = 4, block: int = 128,
+                 slot_v: int, num_heads: int = 4, block: int = 64,
                  interpret: bool = False) -> jax.Array:
     """Single-query attention over one k/v slot pair of the fused cache.
 

@@ -40,6 +40,7 @@ from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vap_realtime_tpu.config import VapConfig
 from vap_realtime_tpu.models.encoder import encode_chunk
@@ -210,6 +211,40 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
                                 k_cur.astype(dtype), v_cur.astype(dtype),
                                 age_f, slot_k=ko // D, slot_v=vo // D,
                                 num_heads=H)
+        if attend_impl == "grouped":
+            # head-free formulation: all tensors stay at the native
+            # D=256 lane width; per-head score/weight reductions go
+            # through tiny one-hot group matmuls.  XLA's per-head einsum
+            # lowering relayouts to 64-lane tiles and runs ~4x over the
+            # cache-read bound (PERF.md r2); this formulation avoids it
+            # without leaving XLA (fusable, no custom-call aliasing).
+            f32 = jnp.float32
+            G = jnp.asarray(np.kron(np.eye(H), np.ones((D // H, 1))),
+                            dtype)                       # (D, H)
+            k_old = state.cache[:, :, ko:ko + D]          # (B, T, D)
+            v_old = state.cache[:, :, vo:vo + D]
+            scale = 1.0 / math.sqrt(D)
+            qd = q.astype(dtype)
+            P = k_old * qd[:, None, :]
+            s = jnp.einsum("btd,dh->bth", P, G,
+                           preferred_element_type=f32) * scale
+            s = s - age_f[:, :, None] * slopes[None, None, :]
+            Pc = (k_cur.astype(dtype) * qd)
+            s_cur = jnp.einsum("bd,dh->bh", Pc, G,
+                               preferred_element_type=f32) * scale
+            mx = jnp.maximum(jnp.max(s, axis=1), s_cur)   # (B, H)
+            w = jnp.exp(s - mx[:, None, :])
+            w_cur = jnp.exp(s_cur - mx)
+            denom = jnp.sum(w, axis=1) + w_cur            # (B, H)
+            wfull = jnp.einsum("bth,dh->btd", w.astype(dtype), G,
+                               preferred_element_type=f32).astype(dtype)
+            out = jnp.sum((wfull * v_old).astype(f32), axis=1)
+            out = out + (jnp.einsum("bh,dh->bd", w_cur, G,
+                                    preferred_element_type=f32)
+                         * v_cur.astype(f32))
+            dfull = jnp.einsum("bh,dh->bd", denom, G,
+                               preferred_element_type=f32)
+            return (out / dfull).astype(dtype)
         k_old = state.cache[:, :, ko:ko + D]                 # (B, T, D)
         v_old = state.cache[:, :, vo:vo + D]
         # stay in the state dtype (bf16 in serving) — the dots accumulate
