@@ -39,7 +39,7 @@
 namespace {
 
 constexpr int kHop = 160;                 // samples per 10 ms packet
-constexpr int kPad = 320;                 // frame_contxt_padding
+constexpr int kPad = 320;                 // frame_contxt_padding (default)
 
 constexpr int kRing = 4;                  // per-slot ready-frame queue
 
@@ -69,6 +69,10 @@ struct Engine {
   int wake_r = -1, wake_w = -1;            // self-pipe for shutdown
   int capacity = 0;
   int frame_samples = 0;
+  // samples kept as the next frame's left context (320 for the
+  // reference overlap semantics, 0 for the fast path's fresh-sample
+  // chunks — runtime/incremental.py fast_step)
+  int overlap = kPad;
   bool wire_int16 = false;
   uint16_t port = 0;
   std::vector<Slot> slots;
@@ -85,7 +89,7 @@ struct Engine {
         Slot &s = slots[i];
         s.fd = fd;
         s.active = true;
-        s.fill = kPad;  // reference zero left-context (vap_main.py:368)
+        s.fill = overlap;  // reference zero left-context (vap_main.py:368)
         std::fill(s.acc1.begin(), s.acc1.end(), 0.f);
         std::fill(s.acc2.begin(), s.acc2.end(), 0.f);
         s.inbuf.clear();
@@ -156,16 +160,19 @@ void parse_hops(Engine *e, Slot &s) {
                   e->frame_samples * sizeof(float));
       s.wpos.store(w + 1, std::memory_order_release);
       s.frames++;
-      // keep last kPad samples as the next frame's left context
-      std::memmove(s.acc1.data(),
-                   s.acc1.data() + e->frame_samples - kPad,
-                   kPad * sizeof(float));
-      std::memmove(s.acc2.data(),
-                   s.acc2.data() + e->frame_samples - kPad,
-                   kPad * sizeof(float));
-      s.fill = kPad;
+      // keep last `overlap` samples as the next frame's left context
+      // (overlap == 0 on the fast path: frames are disjoint)
+      if (e->overlap > 0) {
+        std::memmove(s.acc1.data(),
+                     s.acc1.data() + e->frame_samples - e->overlap,
+                     e->overlap * sizeof(float));
+        std::memmove(s.acc2.data(),
+                     s.acc2.data() + e->frame_samples - e->overlap,
+                     e->overlap * sizeof(float));
+      }
+      s.fill = e->overlap;
       // note: a hop never straddles a frame boundary because
-      // (frame_samples - kPad) % kHop == 0 for all supported rates
+      // (frame_samples - overlap) % kHop == 0 for all supported rates
       if (take < kHop) {
         // defensive: shouldn't happen given the invariant above
         s.fill += kHop - take;
@@ -250,11 +257,12 @@ void io_loop(Engine *e) {
 extern "C" {
 
 void *vap_ingest_create(uint16_t port, int capacity, int frame_samples,
-                        int wire_int16) {
+                        int wire_int16, int overlap) {
   Engine *e = new Engine();
   e->capacity = capacity;
   e->frame_samples = frame_samples;
   e->wire_int16 = wire_int16 != 0;
+  e->overlap = overlap < 0 ? kPad : overlap;
   e->slots = std::vector<Slot>(capacity);
   for (auto &s : e->slots) {
     s.acc1.assign(frame_samples, 0.f);

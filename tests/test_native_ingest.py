@@ -107,6 +107,75 @@ def test_int16_wire(lib):
     ing.close()
 
 
+def test_zero_overlap_frame_assembly(lib):
+    """overlap=0 (fast path): disjoint fresh-sample chunks, no zero
+    left-context prepend and no 320-sample re-send."""
+    ing = lib(port=0, capacity=4, frame_samples=800, overlap=0)
+    audio = synthetic_audio(16000).astype(np.float64)
+    t = threading.Thread(target=_stream_client,
+                         args=(ing.port, audio, 15), daemon=True)
+    t.start()
+    got = []
+    deadline = time.time() + 10
+    while len(got) < 3 and time.time() < deadline:
+        slots, frames = ing.poll()
+        for sl in slots:
+            got.append(frames[sl].copy())
+        time.sleep(0.002)
+    t.join(timeout=5)
+    assert len(got) == 3
+    for i, f in enumerate(got):
+        np.testing.assert_allclose(f[0], audio[0, i * 800:(i + 1) * 800],
+                                   atol=1e-6)
+        np.testing.assert_allclose(f[1], audio[1, i * 800:(i + 1) * 800],
+                                   atol=1e-6)
+    ing.close()
+
+
+def test_native_server_fast_path(lib):
+    """Fast path through the native server: fresh-sample native frame
+    assembly + FastState arena; results match run_frames_fast."""
+    import jax
+    import jax.numpy as jnp
+
+    from vap_realtime_tpu.runtime.arena import StreamArena
+    from vap_realtime_tpu.runtime.incremental import (
+        init_fast_state, run_frames_fast,
+    )
+    from vap_realtime_tpu.runtime.server_native import NativeVapServer
+
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    params = synthetic_params(20)
+    arena = StreamArena(cfg, params, capacity=4, path="fast")
+    arena.warmup()
+    server = NativeVapServer(arena, mode="vap", port=0)
+    assert server.ingest.frame_samples == cfg.frame_shift
+    ticker = threading.Thread(target=server.serve_forever, daemon=True)
+    ticker.start()
+
+    audio = synthetic_audio(16000 * 2).astype(np.float64)
+    r1: list = []
+    t1 = threading.Thread(target=_stream_client,
+                          args=(server.port, audio, 40, r1, 4, 0.01),
+                          daemon=True)
+    t1.start()
+    t1.join(timeout=30)
+    server.stop()
+
+    assert len(r1) == 4
+    shift = cfg.frame_shift
+    fresh = np.stack([audio[:, i * shift:(i + 1) * shift]
+                      for i in range(4)])[:, None]
+    run = jax.jit(run_frames_fast, static_argnums=3)
+    _, expect = run(params, init_fast_state(cfg, 1),
+                    jnp.asarray(fresh), cfg)
+    for i, r in enumerate(r1):
+        np.testing.assert_allclose(
+            r["x1"], audio[0, i * shift:(i + 1) * shift], atol=1e-9)
+        np.testing.assert_allclose(
+            r["p_now"], np.asarray(expect["p_now"][i, 0]), atol=1e-4)
+
+
 def test_native_server_end_to_end(lib):
     """Two clients through the native server: correct, independent
     results; matches the Python batched server's math."""

@@ -132,3 +132,76 @@ def test_tcp_server_loopback(server_ports):
     assert len(results[0]["x1"]) == cfg.frame_shift
     np.testing.assert_allclose(results[0]["x1"], audio[0, :800],
                                atol=1e-12)
+
+
+def test_tcp_server_fast_path(server_ports):
+    """The fast path served end-to-end over the reference wire protocol:
+    the server assembles disjoint fresh-sample chunks (no 320-sample
+    overlap re-send) and results match run_frames_fast on the same
+    chunks (VERDICT r2 next-#1 'server smoke test serves fast')."""
+    golden = load_golden_stream("stream_vap_20hz.npz")
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+
+    from vap_realtime_tpu.runtime.engine import VapEngine
+    from vap_realtime_tpu.runtime.server import VapServer
+
+    params = synthetic_params(20)
+    engine = VapEngine(cfg, params=params, path="fast")
+    assert engine.chunk_samples == cfg.frame_shift
+    assert engine.frame_contxt_padding == 0
+    engine.warmup()
+    port_in, port_out = server_ports
+    server = VapServer(engine, mode="vap", port_in=port_in,
+                       port_out=port_out)
+    server.start_background()
+    time.sleep(0.5)
+
+    results = []
+
+    def consume():
+        with socket.create_connection(("127.0.0.1", port_out),
+                                      timeout=30) as c:
+            while len(results) < 8:
+                results.append(wire.deserialize_result(
+                    wire.read_framed(c), "vap"))
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    time.sleep(0.3)
+
+    audio = golden["audio"].astype(np.float64)
+    with socket.create_connection(("127.0.0.1", port_in), timeout=10) as p:
+        n_hops = (10 * 800) // 160
+        for h in range(n_hops):
+            b = wire.conv_2floatarray_2_bytearray(
+                audio[0, h * 160:(h + 1) * 160],
+                audio[1, h * 160:(h + 1) * 160])
+            p.sendall(b)
+            time.sleep(0.002)
+        t.join(timeout=30)
+    server.stop()
+
+    assert len(results) >= 8
+
+    # expected: fast_step over the same disjoint fresh chunks — with
+    # pad == 0 the server's first chunk starts at sample 0 (no zero
+    # left-context prepend)
+    import jax
+    import jax.numpy as jnp
+    from vap_realtime_tpu.runtime.incremental import (
+        init_fast_state, run_frames_fast,
+    )
+    shift = cfg.frame_shift
+    fresh = np.stack([audio[:, i * shift:(i + 1) * shift]
+                      for i in range(8)])[:, None]
+    run = jax.jit(run_frames_fast, static_argnums=3)
+    _, expect = run(params, init_fast_state(cfg, 1),
+                    jnp.asarray(fresh), cfg)
+
+    got = np.array([r["p_now"] for r in results[:8]])
+    np.testing.assert_allclose(got, np.asarray(expect["p_now"][:8, 0]),
+                               atol=1e-4)
+    # x1 payload = the whole fresh chunk
+    assert len(results[0]["x1"]) == shift
+    np.testing.assert_allclose(results[0]["x1"], audio[0, :shift],
+                               atol=1e-12)

@@ -20,15 +20,20 @@ def _load_lib():
     lib_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), "native", "libvapingest.so")
-    if not os.path.exists(lib_path):
+    try:
+        # rebuild when the source is newer than the .so (cheap mtime check)
         import sys
         sys.path.insert(0, os.path.dirname(os.path.dirname(lib_path)))
         from tools.build_native import build
         lib_path = build()
+    except Exception:
+        if not os.path.exists(lib_path):
+            raise
     lib = ctypes.CDLL(lib_path)
     lib.vap_ingest_create.restype = ctypes.c_void_p
     lib.vap_ingest_create.argtypes = [ctypes.c_uint16, ctypes.c_int,
-                                      ctypes.c_int, ctypes.c_int]
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int]
     lib.vap_ingest_port.restype = ctypes.c_uint16
     lib.vap_ingest_port.argtypes = [ctypes.c_void_p]
     lib.vap_ingest_active.restype = ctypes.c_int
@@ -48,10 +53,14 @@ def _load_lib():
 
 class NativeIngest:
     def __init__(self, port: int = 0, capacity: int = 1024,
-                 frame_samples: int = 1120, wire_int16: bool = False):
+                 frame_samples: int = 1120, wire_int16: bool = False,
+                 overlap: int = -1):
+        """overlap: samples kept as each next frame's left context
+        (-1 = the reference's 320-sample `frame_contxt_padding`; 0 for
+        the fast path's disjoint fresh-sample chunks)."""
         self._lib = _load_lib()
         self._h = self._lib.vap_ingest_create(
-            port, capacity, frame_samples, int(wire_int16))
+            port, capacity, frame_samples, int(wire_int16), overlap)
         if not self._h:
             raise OSError(f"vap_ingest_create failed (port {port})")
         self.capacity = capacity

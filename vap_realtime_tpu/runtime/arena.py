@@ -27,6 +27,14 @@ from vap_realtime_tpu.runtime import incremental, streaming
 
 def _reset_slot(state, idx: jax.Array):
     """Zero one slot's recurrent state + validity counter (jit-friendly)."""
+    if isinstance(state, incremental.FastState):
+        # conv tails are stored per CHANNEL-stream (B*2 leading axis):
+        # slot idx owns rows 2*idx and 2*idx+1
+        rows = jnp.stack([2 * idx, 2 * idx + 1])
+        return incremental.FastState(
+            kv=_reset_slot(state.kv, idx),
+            conv={k: v.at[rows].set(0.0) for k, v in state.conv.items()},
+        )
     if isinstance(state, incremental.HybridState):
         return incremental.HybridState(
             kv=_reset_slot(state.kv, idx),
@@ -54,12 +62,23 @@ class StreamArena:
 
     def __init__(self, cfg: VapConfig, params, capacity: int = 64,
                  path: str = "kv", dtype=jnp.float32, slots: str = "stream",
-                 resync_every: Optional[int] = None):
+                 resync_every: Optional[int] = None,
+                 attend_impl: str = "einsum"):
         self.cfg = cfg
         self.capacity = capacity
+        self.path = path
+        # fast path consumes FRESH samples only (frame_shift, no
+        # 320-sample overlap); all other paths take full overlapped frames
+        self.chunk_samples = (cfg.frame_shift if path == "fast"
+                              else cfg.frame_samples)
         self.params = jax.device_put(
             jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params))
-        if path == "hybrid":
+        if path == "fast":
+            self.state = incremental.init_fast_state(cfg, capacity, dtype)
+            step_fn = lambda p, st, ch, c, act: incremental.fast_step(
+                p, st, ch, c, act, slots=slots, attend_impl=attend_impl)
+            self._step = jax.jit(step_fn, static_argnums=3)
+        elif path == "hybrid":
             n = resync_every if resync_every is not None \
                 else cfg.context_frames
             self.state = incremental.init_hybrid_state(cfg, capacity, dtype)
@@ -83,7 +102,7 @@ class StreamArena:
         self._free: List[int] = list(range(capacity))
         self._active: Dict[int, bool] = {}
         self._lock = threading.Lock()
-        self._zero = np.zeros((capacity, 2, cfg.frame_samples), np.float32)
+        self._zero = np.zeros((capacity, 2, self.chunk_samples), np.float32)
 
     # --- lifecycle ---------------------------------------------------------
 
@@ -125,8 +144,10 @@ class StreamArena:
         jax.block_until_ready(out)
 
     def step(self, chunks: Dict[int, np.ndarray]) -> Dict[int, Dict]:
-        """chunks: {slot: (2, frame_samples)} for streams with a fresh
-        frame this tick; all other slots are FROZEN (state untouched).
+        """chunks: {slot: (2, chunk_samples)} for streams with a fresh
+        frame this tick (chunk_samples = frame_shift on the fast path,
+        frame_samples elsewhere); all other slots are FROZEN (state
+        untouched).
 
         With the default ``slots="stream"`` policy a stream's results
         depend ONLY on its own frame sequence — never on tick/packet

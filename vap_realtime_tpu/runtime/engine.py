@@ -7,13 +7,17 @@ the compute is one jitted dispatch; the class only does host-side
 bookkeeping (accumulating 10 ms hops into model frames is the caller's or
 server's job, as in the reference).
 
-Three serving paths:
+Four serving paths:
 - "full":   parity-exact full recompute per frame (reference semantics)
 - "kv":     incremental KV-cache step (exact until the context window
             slides; see runtime/incremental.py)
 - "hybrid": KV step with a full-recompute resync every `resync_every`
             frames — resync frames are parity-exact and flush the
             cached-K/V drift, bounding inter-resync deviation
+- "fast":   seamless streaming conv + KV — consumes FRESH samples only
+            (chunk length = frame_shift, no 320-sample overlap); the
+            throughput path (bench headline).  attend_impl selects the
+            attention backend ("einsum" | "grouped" | "pallas").
 """
 
 from __future__ import annotations
@@ -40,10 +44,12 @@ class VapEngine:
                  cpc_model: Optional[str] = None,
                  checkpoint_npz: Optional[str] = None,
                  path: str = "kv", batch: int = 1,
-                 dtype=jnp.float32, resync_every: Optional[int] = None):
+                 dtype=jnp.float32, resync_every: Optional[int] = None,
+                 attend_impl: str = "einsum"):
         self.cfg = cfg or VapConfig()
         self.batch = batch
         self.path = path
+        self.attend_impl = attend_impl
         self.resync_every = (resync_every if resync_every is not None
                              else self.cfg.context_frames)
 
@@ -65,8 +71,19 @@ class VapEngine:
             jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params))
 
         if path == "kv":
-            self._step = jax.jit(incremental.kv_step, static_argnums=3)
+            def _kstep(p, st, ch, c, act=None):
+                return incremental.kv_step(p, st, ch, c, act,
+                                           attend_impl=attend_impl)
+
+            self._step = jax.jit(_kstep, static_argnums=3)
             self.state = incremental.init_kv_state(self.cfg, batch, dtype)
+        elif path == "fast":
+            def _fstep(p, st, ch, c, act=None):
+                return incremental.fast_step(p, st, ch, c, act,
+                                             attend_impl=attend_impl)
+
+            self._step = jax.jit(_fstep, static_argnums=3)
+            self.state = incremental.init_fast_state(self.cfg, batch, dtype)
         elif path == "full":
             self._step = jax.jit(streaming.stream_step, static_argnums=3)
             self.state = streaming.init_stream_state(self.cfg, batch, dtype)
@@ -81,7 +98,8 @@ class VapEngine:
                                                        dtype)
         else:
             raise ValueError(
-                f"unknown path {path!r} (use 'kv', 'full', or 'hybrid')")
+                f"unknown path {path!r} "
+                "(use 'kv', 'full', 'hybrid', or 'fast')")
 
         # latest results, reference-style fields (vap_main.py:235-241)
         self.result: Dict[str, Any] = {}
@@ -92,26 +110,34 @@ class VapEngine:
 
     @property
     def audio_frame_size(self) -> int:
-        return self.cfg.frame_samples
+        return self.chunk_samples
+
+    @property
+    def chunk_samples(self) -> int:
+        """Samples the engine consumes per frame: frame_shift (fresh
+        samples only) on the fast path, frame_samples (with the
+        320-sample overlap) elsewhere."""
+        return (self.cfg.frame_shift if self.path == "fast"
+                else self.cfg.frame_samples)
 
     @property
     def frame_contxt_padding(self) -> int:
         from vap_realtime_tpu.config import FRAME_CONTEXT_PADDING
-        return FRAME_CONTEXT_PADDING
+        return 0 if self.path == "fast" else FRAME_CONTEXT_PADDING
 
     def warmup(self) -> None:
         """Compile the step ahead of the first real frame."""
-        z = jnp.zeros((self.batch, 2, self.cfg.frame_samples), jnp.float32)
+        z = jnp.zeros((self.batch, 2, self.chunk_samples), jnp.float32)
         st, out = self._step(self.params, self.state, z, self.cfg)
         jax.block_until_ready(out)
 
     def process_batch(self, chunk: np.ndarray) -> Dict[str, np.ndarray]:
-        """chunk: (B, 2, frame_samples) -> dict of (B, ...) numpy results."""
+        """chunk: (B, 2, chunk_samples) -> dict of (B, ...) numpy results."""
         chunk = np.asarray(chunk, np.float32)
-        if chunk.shape != (self.batch, 2, self.cfg.frame_samples):
+        if chunk.shape != (self.batch, 2, self.chunk_samples):
             raise ValueError(
-                f"expected chunk shape {(self.batch, 2, self.cfg.frame_samples)}"
-                f" (batch, channels, 16000//frame_hz + 320), got {chunk.shape}")
+                f"expected chunk shape {(self.batch, 2, self.chunk_samples)}"
+                f" (batch, channels, samples), got {chunk.shape}")
         t0 = time.time()
         self.state, out = self._step(self.params, self.state,
                                      jnp.asarray(chunk), self.cfg)

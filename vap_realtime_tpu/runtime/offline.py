@@ -30,8 +30,25 @@ from vap_realtime_tpu.runtime import incremental, streaming
 
 
 def run_offline(params, audio: np.ndarray, cfg: VapConfig,
-                path: str = "full") -> Dict[str, np.ndarray]:
+                path: str = "full",
+                attend_impl: str = "einsum") -> Dict[str, np.ndarray]:
     """audio: (2, N) float32 -> dict of per-frame outputs + timestamps."""
+    if path == "fast":
+        # fast path consumes disjoint fresh-sample chunks; frame k
+        # summarizes audio ending at (k+1)*frame_shift (no 320-sample
+        # look-ahead — documented fast-path alignment)
+        shift = cfg.frame_shift
+        F = audio.shape[-1] // shift
+        frames = np.stack([audio[..., i * shift:(i + 1) * shift]
+                           for i in range(F)])[:, None]   # (F, 1, 2, S')
+        state = incremental.init_fast_state(cfg, 1)
+        run = jax.jit(
+            lambda p, st, fr, c: incremental.run_frames_fast(
+                p, st, fr, c, attend_impl=attend_impl), static_argnums=3)
+        _, outs = run(params, state, jnp.asarray(frames), cfg)
+        outs = {k: np.asarray(v[:, 0]) for k, v in outs.items()}
+        outs["t"] = (np.arange(F) + 1) * shift / cfg.sample_rate
+        return outs
     frames = streaming.frame_audio(audio, cfg)[:, None]  # (F, 1, 2, S)
     if path == "kv":
         state = incremental.init_kv_state(cfg, 1)
@@ -77,9 +94,15 @@ def main(argv: Optional[list] = None) -> None:
     ap.add_argument("--input_wav_right", type=str, required=True)
     ap.add_argument("--vap_process_rate", type=int, default=20)
     ap.add_argument("--context_len_sec", type=float, default=2.5)
-    ap.add_argument("--engine_path", choices=["full", "kv", "hybrid"], default="full",
+    ap.add_argument("--engine_path",
+                    choices=["full", "kv", "hybrid", "fast"],
+                    default="full",
                     help="'full' = parity-exact recompute, 'kv' = "
-                         "incremental KV cache")
+                         "incremental KV cache, 'fast' = streaming conv "
+                         "+ KV (throughput path)")
+    ap.add_argument("--attend_impl",
+                    choices=["einsum", "grouped", "pallas"],
+                    default="einsum")
     args = ap.parse_args(argv)
 
     cfg = VapConfig(frame_hz=args.vap_process_rate,
@@ -112,7 +135,8 @@ def main(argv: Optional[list] = None) -> None:
 
     params = jax.device_put(
         jax.tree_util.tree_map(jnp.asarray, params))
-    outs = run_offline(params, audio, cfg, args.engine_path)
+    outs = run_offline(params, audio, cfg, args.engine_path,
+                       attend_impl=args.attend_impl)
     write_csv(args.filename_output, outs)
     print(f"Generated output file: {args.filename_output} "
           f"({len(outs['t'])} frames)")

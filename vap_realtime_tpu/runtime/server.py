@@ -104,9 +104,11 @@ class VapServer:
     # --- input side (main loop) --------------------------------------------
 
     def _serve_in(self):
-        cfg: VapConfig = self.engine.cfg
+        # fast path: pad == 0 and frame == frame_shift, so the
+        # accumulate loop naturally feeds fresh-sample chunks with no
+        # 320-sample overlap re-send
         pad = self.engine.frame_contxt_padding
-        frame = cfg.frame_samples
+        frame = self.engine.chunk_samples
         while not self._stop.is_set():
             try:
                 s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -186,7 +188,13 @@ def main(argv=None):
     ap.add_argument("--context_len_sec", type=float, default=2.5)
     ap.add_argument("--audio_gain", type=float, default=1.0)
     ap.add_argument("--mode", choices=["vap", "bc", "nod"], default="vap")
-    ap.add_argument("--engine_path", choices=["full", "kv", "hybrid"], default="kv")
+    ap.add_argument("--engine_path",
+                    choices=["full", "kv", "hybrid", "fast"], default="kv")
+    ap.add_argument("--attend_impl",
+                    choices=["einsum", "grouped", "pallas"],
+                    default="einsum",
+                    help="attention backend for kv/fast paths "
+                         "(pallas = fused TPU kernel)")
     args = ap.parse_args(argv)
 
     cfg = VapConfig(frame_hz=args.vap_process_rate,
@@ -200,7 +208,8 @@ def main(argv=None):
     engine = VapEngine(cfg, params=params, vap_model=args.vap_model,
                        cpc_model=args.cpc_model,
                        checkpoint_npz=args.checkpoint_npz,
-                       path=args.engine_path)
+                       path=args.engine_path,
+                       attend_impl=args.attend_impl)
     engine.warmup()
     server = VapServer(engine, mode=args.mode, port_in=args.port_num_in,
                        port_out=args.port_num_out,

@@ -48,6 +48,8 @@ class BatchedVapServer:
         self.host = host
         self.port = port
         self.conns: Dict[int, _Conn] = {}
+        self._pad = (0 if getattr(arena, "path", "kv") == "fast"
+                     else FRAME_CONTEXT_PADDING)
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self.bound_port: Optional[int] = None
@@ -55,9 +57,9 @@ class BatchedVapServer:
     # --- per-connection reader ---------------------------------------------
 
     def _reader(self, conn: _Conn):
-        cfg = self.arena.cfg
-        frame = cfg.frame_samples
-        pad = FRAME_CONTEXT_PADDING
+        # fast path: pad == 0, frame == frame_shift -> fresh-sample chunks
+        frame = self.arena.chunk_samples
+        pad = self._pad
         try:
             while not self._stop.is_set():
                 data = wire._read_exact(conn.sock, HOP_BYTES)
@@ -147,7 +149,7 @@ class BatchedVapServer:
                     print("[ARENA] full, rejecting", addr)
                     sock.close()
                     continue
-                conn = _Conn(sock, slot, FRAME_CONTEXT_PADDING)
+                conn = _Conn(sock, slot, self._pad)
                 with self._lock:
                     self.conns[slot] = conn
                 print(f"[ARENA] stream {slot} from {addr} "
@@ -177,7 +179,11 @@ def main(argv=None):
     ap.add_argument("--vap_process_rate", type=int, default=20)
     ap.add_argument("--context_len_sec", type=float, default=2.5)
     ap.add_argument("--mode", choices=["vap", "bc", "nod"], default="vap")
-    ap.add_argument("--engine_path", choices=["full", "kv", "hybrid"], default="kv")
+    ap.add_argument("--engine_path",
+                    choices=["full", "kv", "hybrid", "fast"], default="kv")
+    ap.add_argument("--attend_impl",
+                    choices=["einsum", "grouped", "pallas"],
+                    default="einsum")
     ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args(argv)
 
@@ -197,7 +203,8 @@ def main(argv=None):
 
     arena = StreamArena(cfg, params, capacity=args.capacity,
                         path=args.engine_path,
-                        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+                        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                        attend_impl=args.attend_impl)
     arena.warmup()
     BatchedVapServer(arena, mode=args.mode, port=args.port).serve_forever()
 

@@ -31,8 +31,13 @@ class NativeVapServer:
                  port: int = 50011, wire_int16: bool = False):
         self.arena = arena
         self.mode = mode
+        # fast path: native assembler emits disjoint fresh-sample chunks
+        # (frame_shift samples, overlap 0) instead of overlapped frames
+        self._pad = (0 if getattr(arena, "path", "kv") == "fast"
+                     else FRAME_CONTEXT_PADDING)
         self.ingest = NativeIngest(port, arena.capacity,
-                                   arena.cfg.frame_samples, wire_int16)
+                                   arena.chunk_samples, wire_int16,
+                                   overlap=self._pad)
         self.port = self.ingest.port
         self._gens = np.zeros((arena.capacity,), np.int64)
         self._stop = False
@@ -52,7 +57,7 @@ class NativeVapServer:
         chunks = {sl: frames[sl] for sl in slots}
         results = self.arena.step(chunks)
         t = time.time()
-        pad = FRAME_CONTEXT_PADDING
+        pad = self._pad
         for sl, r in results.items():
             payload = {"t": t, "x1": frames[sl, 0, pad:],
                        "x2": frames[sl, 1, pad:]}
@@ -98,7 +103,11 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--vap_process_rate", type=int, default=20)
     ap.add_argument("--context_len_sec", type=float, default=2.5)
     ap.add_argument("--mode", choices=["vap", "bc", "nod"], default="vap")
-    ap.add_argument("--engine_path", choices=["full", "kv", "hybrid"], default="kv")
+    ap.add_argument("--engine_path",
+                    choices=["full", "kv", "hybrid", "fast"], default="kv")
+    ap.add_argument("--attend_impl",
+                    choices=["einsum", "grouped", "pallas"],
+                    default="einsum")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--wire_int16", action="store_true",
                     help="accept int16 hop packets (4x lower bandwidth)")
@@ -120,7 +129,8 @@ def main(argv: Optional[list] = None):
 
     arena = StreamArena(cfg, params, capacity=args.capacity,
                         path=args.engine_path,
-                        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+                        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                        attend_impl=args.attend_impl)
     arena.warmup()
     server = NativeVapServer(arena, mode=args.mode, port=args.port,
                              wire_int16=args.wire_int16)
