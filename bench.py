@@ -120,8 +120,20 @@ def variant(name: str):
         step = functools.partial(kv_step, slots="global",
                                  attend_impl=attend)
         return step, init_kv_state, "frame", dtype
+    if path == "kvstream":
+        # VapEngine's default serving config: slots="stream" does a
+        # per-stream row scatter instead of the scalar-slot update —
+        # measured so the engine default is a known tradeoff (ADVICE r2)
+        step = functools.partial(kv_step, slots="stream",
+                                 attend_impl=attend)
+        return step, init_kv_state, "frame", dtype
     if path == "fast":
         step = functools.partial(fast_step, slots="global",
+                                 attend_impl=attend)
+        return step, init_fast_state, "shift", dtype
+    if path == "faststream":
+        # the StreamArena default (slots="stream") on the fast path
+        step = functools.partial(fast_step, slots="stream",
                                  attend_impl=attend)
         return step, init_fast_state, "shift", dtype
     if path == "hybrid":

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from vap_realtime_tpu.config import VapConfig
 from vap_realtime_tpu.runtime.static import make_static_fn, static_step
@@ -86,3 +87,81 @@ def test_stablehlo_export_roundtrip(tmp_path):
     for a, b in zip(out_direct, out_reload):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6)
+
+
+def test_export_web_structural(tmp_path):
+    """Structural check of the browser-runner artifact (VERDICT r2 item
+    6b): every tensor in weights.bin reconstructs by manifest
+    offset/shape to the exact source params, and replaying the selftest
+    fixture through the JAX static step reproduces the manifest's
+    expected outputs.  (vap_web.js itself is browser-verification-only:
+    no JS runtime exists in this environment — checked r2/r3: no
+    node/deno/qjs/Chrome.)"""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    import export_web
+
+    from vap_realtime_tpu.weights.convert import _flatten, _unflatten
+
+    out = str(tmp_path / "web")
+    export_web.main(["--synthetic_weights", "--context_frames", "20",
+                     "--out", out])
+
+    with open(out + "/manifest.json") as f:
+        manifest = json.load(f)
+    blob = np.fromfile(out + "/weights.bin", dtype="<f4")
+
+    src = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32),
+                                 synthetic_params(20))
+    src_flat = _flatten(src)
+    assert set(manifest["params"]) == set(src_flat)
+    rec = {}
+    for name, meta in manifest["params"].items():
+        size = int(np.prod(meta["shape"])) if meta["shape"] else 1
+        arr = blob[meta["offset"]:meta["offset"] + size]
+        rec[name] = arr.reshape(meta["shape"])
+        np.testing.assert_array_equal(rec[name], src_flat[name],
+                                      err_msg=name)
+    assert sum(v.size for v in rec.values()) == blob.size  # no dead bytes
+
+    # replay the self-test fixture through the static step using the
+    # RECONSTRUCTED params (what the JS runner will actually load)
+    cfg = VapConfig(frame_hz=manifest["cfg"]["frame_hz"])
+    T = manifest["cfg"]["context_frames"]
+    fn, example = make_static_fn(cfg, T)
+    st = manifest["selftest"]
+    x1 = np.asarray(st["x1"], np.float32)[None]
+    x2 = np.asarray(st["x2"], np.float32)[None]
+    params = jax.tree_util.tree_map(jnp.asarray, _unflatten(rec))
+    outs = jax.jit(fn)(params, x1, x2,
+                       jnp.zeros(example[2].shape), jnp.zeros(example[3].shape),
+                       jnp.zeros(example[4].shape), jnp.zeros(example[5].shape))
+    p_now, p_fut, vad1, vad2, e1, _e2, _h, _c = [np.asarray(y) for y in outs]
+    atol = st["atol"]
+    np.testing.assert_allclose(p_now, st["expected"]["p_now"], atol=atol)
+    np.testing.assert_allclose(p_fut, st["expected"]["p_future"], atol=atol)
+    np.testing.assert_allclose([vad1[-1], vad2[-1]], st["expected"]["vad"],
+                               atol=atol)
+    np.testing.assert_allclose(e1[0, :8], st["expected"]["e1_head"],
+                               atol=atol)
+
+
+def test_tflite_export_close_check(tmp_path):
+    """Executed TFLite export + elementwise close check (VERDICT r2 item
+    6a): the r2 session verified export_tf --tflite --check by hand; this
+    pins it in the suite.  Runs at context_frames=20 to keep the convert
+    fast (~3 min); skipped cleanly when tensorflow is unavailable."""
+    import sys
+
+    pytest.importorskip("tensorflow")
+    sys.path.insert(0, "tools")
+    import export_tf
+
+    out = str(tmp_path / "vap_tf")
+    # raises (assertion inside --check) on any elementwise mismatch
+    export_tf.main(["--synthetic_weights", "--tflite", "--check",
+                    "--context_frames", "20", "--out", out])
+    import os
+    assert os.path.exists(out + ".tflite")

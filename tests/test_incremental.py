@@ -207,7 +207,79 @@ def test_fast_path_tracks_reference_numerics():
     p_fast = np.asarray(fast["p_now"])[1:, 0]        # alignment: +1 frame
     d = np.abs(p_full - p_fast)
     assert np.isfinite(p_fast).all()
-    assert d.mean() < 0.05 and d.max() < 0.2, (d.mean(), d.max())
+    # measured r3 (random init): mean 9.8e-4, max 1.9e-3 — the bound is
+    # 10x the measurement, not a parity claim (trained-weights bound:
+    # test_fast_deviation_quantified_on_trained_weights)
+    assert d.mean() < 0.005 and d.max() < 0.02, (d.mean(), d.max())
+
+
+def _run_fast_paths(cfg, params, audio, resync_every):
+    """full recompute + fast + fast_hybrid(oracle: resync_every=1, and
+    the given cadence) over the same audio; returns aligned p_now."""
+    from vap_realtime_tpu.runtime.incremental import (
+        init_fast_hybrid_state, init_fast_state, run_frames_fast,
+        run_frames_fast_hybrid,
+    )
+
+    frames = jnp.asarray(frame_audio(audio, cfg)[:, None])
+    run_full = jax.jit(run_frames, static_argnums=3)
+    _, full = run_full(params, init_stream_state(cfg, 1), frames, cfg)
+
+    shift = cfg.frame_shift
+    F = frames.shape[0]
+    fresh = jnp.asarray(np.stack(
+        [audio[:, i * shift:(i + 1) * shift] for i in range(F + 1)])[:, None])
+    run_fast = jax.jit(run_frames_fast, static_argnums=3)
+    _, fast = run_fast(params, init_fast_state(cfg, 1), fresh, cfg)
+    run_fh = jax.jit(run_frames_fast_hybrid, static_argnums=(3, 4))
+    _, oracle = run_fh(params, init_fast_hybrid_state(cfg, 1), fresh, cfg, 1)
+    _, fh = run_fh(params, init_fast_hybrid_state(cfg, 1), fresh, cfg,
+                   resync_every)
+    return (np.asarray(full["p_now"])[:, 0],
+            np.asarray(fast["p_now"])[:, 0],
+            np.asarray(oracle["p_now"])[:, 0],
+            np.asarray(fh["p_now"])[:, 0], F)
+
+
+def test_fast_hybrid_resync_exact_and_tighter():
+    """fast+resync: resync frames are EXACT w.r.t. the full-trunk-over-
+    fast-embeddings oracle (resync_every=1), and overall drift vs that
+    oracle is no worse than the pure fast path's (VERDICT r2 item 4)."""
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    params = synthetic_params(frame_hz=20)
+    audio = synthetic_audio(16000 * 4)
+    N = 10
+    _, p_fast, p_or, p_fh, F = _run_fast_paths(cfg, params, audio, N)
+    assert F > 3 * cfg.context_frames
+
+    resync_frames = [g for g in range(F + 1) if (g + 1) % N == 0]
+    np.testing.assert_allclose(p_fh[resync_frames], p_or[resync_frames],
+                               atol=2e-5)
+    dev_fast = np.abs(p_fast - p_or).max()
+    dev_fh = np.abs(p_fh - p_or).max()
+    assert dev_fh <= dev_fast + 1e-6
+    assert dev_fh < 0.05
+
+
+def test_fast_deviation_quantified_on_trained_weights(trained_params):
+    """Fast-vs-full deviation measured on TRAINED weights (VERDICT r2
+    item 4 — the kv path got this in r2; the serving-default fast path
+    needs the same evidence)."""
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    audio = synthetic_audio(16000 * 4, seed=9)
+    p_full, p_fast, p_or, p_fh, F = _run_fast_paths(
+        cfg, trained_params, audio, cfg.context_frames // 2)
+    assert p_full.std() > 0.01, "trained outputs degenerate (~const)"
+    # encoder-numerics delta dominates; KV drift vs the fast oracle is
+    # far smaller (see ARCHITECTURE.md "Serving paths" for measured rows)
+    d_full = np.abs(p_full - p_fast[1:])             # alignment: +1 frame
+    d_or = np.abs(p_fast - p_or)
+    print(f"\n[fast-deviation trained] p_now std={p_full.std():.4f} "
+          f"vs-full max={d_full.max():.2e} mean={d_full.mean():.2e} "
+          f"kv-drift-vs-oracle max={d_or.max():.2e} "
+          f"hybrid max={np.abs(p_fh - p_or).max():.2e}")
+    assert d_full.max() < 0.05, f"fast deviation too large: {d_full.max()}"
+    assert d_or.max() < 0.01, f"fast KV drift too large: {d_or.max()}"
 
 
 def test_batch_consistency():

@@ -78,15 +78,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--stages", default="all",
-                    help="comma list: step,encoder,conv,conv_im2col,lstm,trunk")
+                    help="comma list: step,encoder,conv,conv_im2col,lstm,"
+                         "trunk,fast,fast_einsum,enc_stream,conv_stream,"
+                         "conv_stream_im2col,conv_stream_blocked,lstm5,"
+                         "heads,trunk_fast")
     args = ap.parse_args()
 
     from vap_realtime_tpu.config import VapConfig
     from vap_realtime_tpu.models.encoder import (
-        CPC_CONV_SPECS, cpc_conv_stack, encode_chunk,
+        CPC_CONV_SPECS, cpc_conv_stack, cpc_conv_stack_streaming,
+        encode_chunk, encode_chunk_streaming, init_conv_stream_state,
     )
+    from vap_realtime_tpu.models.vap import heads_forward, probs_from_outputs
     from vap_realtime_tpu.ops.basic import channel_norm, lstm
-    from vap_realtime_tpu.runtime.incremental import init_kv_state, kv_step
+    from vap_realtime_tpu.runtime.incremental import (
+        fast_step, init_fast_state, init_kv_state, kv_step,
+    )
     from vap_realtime_tpu.weights.synthetic import synthetic_params
 
     cfg = VapConfig(frame_hz=20, context_len_sec=2.5)
@@ -170,6 +177,184 @@ def main():
             return (zz, h2, c2)
         results["lstm"] = timed_scan(body, (z, h0, h0))
         log(f"lstm ({n_cpc} steps):      {results['lstm']*1e3:8.2f} ms")
+
+    # ---- fast serving path (the r3 headline): fresh-sample chunks ----
+    fresh = jnp.asarray(rng.randn(B, 2, cfg.frame_shift)
+                        .astype(np.float32) * 0.1).astype(jnp.bfloat16)
+
+    def fast_body(attend_impl):
+        state0 = init_fast_state(cfg, B, dtype=jnp.bfloat16)
+
+        def body(carry):
+            st, ch = carry
+            st, out = fast_step(params, st, ch, cfg, slots="global",
+                                attend_impl=attend_impl)
+            ch = ch * 0.999 + 1e-4 * jnp.sum(out["p_now"]).astype(ch.dtype)
+            return (st, ch)
+        return body, (state0, fresh)
+
+    if "fast" in stages:
+        body, carry = fast_body("pallas")
+        results["fast"] = timed_scan(body, carry)
+        log(f"fast_step (pallas):  {results['fast']*1e3:8.2f} ms")
+
+    if "fast_einsum" in stages:
+        body, carry = fast_body("einsum")
+        results["fast_einsum"] = timed_scan(body, carry)
+        log(f"fast_step (einsum):  {results['fast_einsum']*1e3:8.2f} ms")
+
+    if "enc_stream" in stages:
+        flat = fresh.reshape(B2, -1)
+        h0 = jnp.zeros((B2, cfg.dim), jnp.bfloat16)
+        cst = init_conv_stream_state(B2, cfg.encoder_dim, jnp.bfloat16)
+
+        def body(carry):
+            ch, st, h, c = carry
+            e, st2, h2, c2 = encode_chunk_streaming(
+                enc, ch, st, h, c, cfg.downsample_kernel)
+            ch = ch * 0.999 + 1e-4 * jnp.sum(e).astype(ch.dtype)
+            return (ch, st2, h2, c2)
+        results["enc_stream"] = timed_scan(body, (flat, cst, h0, h0))
+        log(f"enc_stream (conv+lstm+ds): {results['enc_stream']*1e3:6.2f} ms")
+
+    if "conv_stream" in stages:
+        flat = fresh.reshape(B2, -1)
+        cst = init_conv_stream_state(B2, cfg.encoder_dim, jnp.bfloat16)
+
+        def body(carry):
+            ch, st = carry
+            z, st2 = cpc_conv_stack_streaming(enc, ch, st)
+            ch = ch * 0.999 + 1e-4 * jnp.sum(z).astype(ch.dtype)
+            return (ch, st2)
+        results["conv_stream"] = timed_scan(body, (flat, cst))
+        log(f"conv_stream (XLA conv): {results['conv_stream']*1e3:7.2f} ms")
+
+    if "conv_stream_im2col" in stages:
+        flat = fresh.reshape(B2, -1)
+        cst = init_conv_stream_state(B2, cfg.encoder_dim, jnp.bfloat16)
+
+        def stream_im2col(new, state):
+            x = new[:, None, :]
+            new_state = {}
+            for i, (k, s, _p) in enumerate(CPC_CONV_SPECS):
+                x = jnp.concatenate(
+                    [state[f"c{i}"].astype(x.dtype), x], axis=-1)
+                new_state[f"c{i}"] = x[..., x.shape[-1] - (k - s):]
+                c, n = enc[f"conv{i}"], enc[f"norm{i}"]
+                x = conv1d_im2col(x, c["w"], c["b"], s, 0)
+                x = channel_norm(x, n["w"], n["b"])
+                x = jax.nn.relu(x)
+            return x, new_state
+
+        def body(carry):
+            ch, st = carry
+            z, st2 = stream_im2col(ch, st)
+            ch = ch * 0.999 + 1e-4 * jnp.sum(z).astype(ch.dtype)
+            return (ch, st2)
+        results["conv_stream_im2col"] = timed_scan(body, (flat, cst))
+        log(f"conv_stream (im2col): {results['conv_stream_im2col']*1e3:8.2f} ms")
+
+    if "conv_stream_blocked" in stages:
+        from vap_realtime_tpu.models.encoder import (
+            cpc_conv_stack_streaming_blocked,
+        )
+
+        flat = fresh.reshape(B2, -1)
+        cst = init_conv_stream_state(B2, cfg.encoder_dim, jnp.bfloat16)
+
+        def body(carry):
+            ch, st = carry
+            z, st2 = cpc_conv_stack_streaming_blocked(enc, ch, st)
+            ch = ch * 0.999 + 1e-4 * jnp.sum(z).astype(ch.dtype)
+            return (ch, st2)
+        results["conv_stream_blocked"] = timed_scan(body, (flat, cst))
+        log(f"conv_stream (blocked): {results['conv_stream_blocked']*1e3:7.2f} ms")
+
+    if "lstm5" in stages:
+        n_cpc = cfg.frame_shift // 160
+        z = jnp.asarray(rng.randn(B2, n_cpc, cfg.dim)
+                        .astype(np.float32)).astype(jnp.bfloat16)
+        g = enc["lstm"]
+        h0 = jnp.zeros((B2, cfg.dim), jnp.bfloat16)
+
+        def body(carry):
+            zz, h, c = carry
+            y, h2, c2 = lstm(zz, h, c, g["w_ih"], g["w_hh"],
+                             g["b_ih"], g["b_hh"])
+            zz = zz * 0.999 + 1e-4 * jnp.sum(y).astype(zz.dtype)
+            return (zz, h2, c2)
+        results["lstm5"] = timed_scan(body, (z, h0, h0))
+        log(f"lstm ({n_cpc} steps):       {results['lstm5']*1e3:8.2f} ms")
+
+    if "heads" in stages:
+        x = jnp.asarray(rng.randn(B, 1, cfg.dim)
+                        .astype(np.float32)).astype(jnp.bfloat16)
+
+        def body(xx):
+            trunk = {"x": xx, "o1": xx, "o2": xx, "x1": xx, "x2": xx}
+            probs = probs_from_outputs(heads_forward(params, trunk, cfg), cfg)
+            return xx * 0.999 + 1e-4 * jnp.sum(
+                probs["p_now"]).astype(xx.dtype)
+        results["heads"] = timed_scan(body, x)
+        log(f"heads+probs:         {results['heads']*1e3:8.2f} ms")
+
+    # ---- cache-copy hypothesis probes (r3): is the scan-carried fused
+    # cache updated in place or copied every step? ----
+    if {"trunk_pallas", "trunk_nowrite", "cachewrite"} & set(stages):
+        from vap_realtime_tpu.runtime.incremental import KVState, _kv_core
+
+        e0 = jnp.asarray(rng.randn(B, 2, cfg.dim)
+                         .astype(np.float32)).astype(jnp.bfloat16)
+        h0 = jnp.zeros((B, 2, cfg.dim), jnp.bfloat16)
+        ones = jnp.ones((B,), bool)
+
+        def mk_trunk(write, impl):
+            def body(carry):
+                st, e = carry
+                st2, out = _kv_core(params, st, e, h0, h0, cfg, ones,
+                                    "global", impl)
+                if not write:
+                    # reads only: the row write (and its feeding concat)
+                    # get DCE'd — isolates the write+carry-copy cost
+                    st2 = KVState(cache=st.cache, lstm_h=st2.lstm_h,
+                                  lstm_c=st2.lstm_c, count=st2.count,
+                                  stamp=st.stamp, step=st2.step)
+                e = e * 0.999 + 1e-4 * jnp.sum(
+                    out["p_now"]).astype(e.dtype)
+                return (st2, e)
+            return body
+
+        st0 = init_kv_state(cfg, B, dtype=jnp.bfloat16)
+        if "trunk_pallas" in stages:
+            results["trunk_pallas"] = timed_scan(
+                mk_trunk(True, "pallas"), (st0, e0))
+            log(f"trunk only (pallas, with write): "
+                f"{results['trunk_pallas']*1e3:8.2f} ms")
+        if "trunk_nowrite" in stages:
+            results["trunk_nowrite"] = timed_scan(
+                mk_trunk(False, "pallas"), (st0, e0))
+            log(f"trunk only (pallas, NO write): "
+                f"{results['trunk_nowrite']*1e3:8.2f} ms")
+        if "cachewrite" in stages:
+            nD = st0.cache.shape[-1]
+            row = jnp.ones((B, 1, nD), jnp.bfloat16)
+
+            def body(carry):
+                cache, g = carry
+                r = row * (g % 100).astype(jnp.bfloat16)
+                cache = jax.lax.dynamic_update_slice(
+                    cache, r, (0, g % cfg.context_frames, 0))
+                return (cache, g + 1)
+            results["cachewrite"] = timed_scan(
+                body, (st0.cache, jnp.int32(0)))
+            log(f"bare loop-carried row write: "
+                f"{results['cachewrite']*1e3:8.2f} ms")
+
+    if "trunk_fast" in stages and "fast" in results and \
+            "enc_stream" in results:
+        results["trunk_fast"] = results["fast"] - results["enc_stream"]
+        log(f"fast trunk (attn+ffn+heads, by difference): "
+            f"{results['trunk_fast']*1e3:.2f} ms")
 
     if "trunk" in stages and "step" in results and "encoder" in results:
         results["trunk"] = results["step"] - results["encoder"]

@@ -40,7 +40,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     # exports run host-side; never touch (or contend for) a TPU
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # sitecustomize pins JAX_PLATFORMS=axon at interpreter start, so a
+    # plain setdefault would silently leave us on the TPU relay — force CPU
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
     try:
         import tensorflow as tf

@@ -28,7 +28,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")  # host-side tool
+# sitecustomize pins JAX_PLATFORMS=axon at interpreter start, so a
+# plain setdefault would silently leave us on the TPU relay — force CPU
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # host-side tool
 
 
 def main(argv=None):

@@ -180,12 +180,29 @@ class TCPReceiver(Base):
         self.channel = channel
         self.q: queue.Queue = queue.Queue()
         self._started = False
+        self._conn: socket.socket | None = None
 
     def start_process(self) -> None:
         if self._started:
             return
         self._started = True
         threading.Thread(target=self._serve, daemon=True).start()
+
+    def stop_process(self) -> None:
+        # closing the live connection unblocks the serve thread's
+        # blocking _read_exact immediately (it otherwise waits for the
+        # peer to send or disconnect)
+        super().stop_process()
+        conn = self._conn
+        if conn is not None:
+            try:
+                conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                conn.close()
+            except OSError:
+                pass
 
     def _serve(self) -> None:
         while not self._stopped:
@@ -205,6 +222,7 @@ class TCPReceiver(Base):
                     s.close()
                     return
                 with conn:
+                    self._conn = conn
                     while not self._stopped:
                         data = wire._read_exact(conn, 8 * 2 * FRAME_SIZE)
                         x1, x2 = wire.conv_bytearray_2_2floatarray(data)
@@ -216,6 +234,8 @@ class TCPReceiver(Base):
                     pass
                 time.sleep(0.1)
                 continue
+            finally:
+                self._conn = None
 
     def get_audio_data(self) -> np.ndarray:
         return self._drain_queue(self.q)
@@ -231,6 +251,7 @@ class TCPTransmitter:
         self.ip = ip
         self.port = port
         self._stopped = False
+        self._sock: socket.socket | None = None
 
     def start_process(self) -> None:
         self.source.start_process()
@@ -239,11 +260,31 @@ class TCPTransmitter:
     def stop_process(self) -> None:
         self._stopped = True
         self.source.stop_process()
+        # unblock a sendall stuck on a full peer buffer
+        sock = self._sock
+        if sock is not None:
+            try:
+                sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                sock.close()
+            except OSError:
+                pass
 
     def _run(self) -> None:
         sock = socket.create_connection((self.ip, self.port))
+        self._sock = sock
         zeros = np.zeros(FRAME_SIZE)
-        while not self._stopped:
-            x = self.source.get_audio_data()
-            sock.sendall(wire.conv_2floatarray_2_bytearray(x, zeros))
-        sock.close()
+        try:
+            while not self._stopped:
+                x = self.source.get_audio_data()
+                sock.sendall(wire.conv_2floatarray_2_bytearray(x, zeros))
+        except OSError:
+            pass  # socket closed by stop_process
+        finally:
+            self._sock = None
+            try:
+                sock.close()
+            except OSError:
+                pass

@@ -182,6 +182,53 @@ def cpc_conv_stack_streaming(params: Params, new: jax.Array,
     return jnp.swapaxes(x, 1, 2), new_state  # (B, L_new/160, C)
 
 
+def cpc_conv_stack_streaming_blocked(params: Params, new: jax.Array,
+                                     state: Params):
+    """Seamless strided conv over the NEW samples, channels-last blocked
+    matmul formulation — numerically the same map as
+    `cpc_conv_stack_streaming` (same f32-accumulated sums), shaped for
+    the MXU.
+
+    Every CPC conv has kernel = 2*stride (CPC_CONV_SPECS), so each
+    output frame is the sum of exactly TWO (s*C_in, C_out) matmuls over
+    adjacent stride-blocks.  Activations stay (B, T, C) channels-last
+    throughout: the contraction dims (s, C_in) are the two minor dims,
+    so no im2col patch materialization and no NCW<->NWC transposes —
+    XLA's NCW conv lowering reached only ~60 TFLOP/s here (PERF.md r3).
+
+    State layout is shared with the NCW path ((B, C_in, k-s) carries).
+    """
+    x = new[:, :, None]                               # (B, L, 1)
+    new_state: Params = {}
+    for i, (k, s, _pad) in enumerate(CPC_CONV_SPECS):
+        assert k == 2 * s, "blocked formulation assumes kernel = 2*stride"
+        carry = jnp.swapaxes(state[f"c{i}"], 1, 2)    # (B, k-s, C_in)
+        xc = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
+        new_state[f"c{i}"] = jnp.swapaxes(xc[:, -(k - s):, :], 1, 2)
+        B, L, Cin = xc.shape
+        n_blk = L // s
+        n_out = n_blk - 1
+        xb = xc[:, :n_blk * s].reshape(B, n_blk, s * Cin)
+        c, n = params[f"conv{i}"], params[f"norm{i}"]
+        wt = jnp.transpose(c["w"], (2, 1, 0))         # (K, C_in, C_out)
+        w0 = wt[:s].reshape(s * Cin, -1)
+        w1 = wt[s:].reshape(s * Cin, -1)
+        y = (jnp.einsum("bjc,co->bjo", xb[:, :n_out], w0,
+                        preferred_element_type=jnp.float32)
+             + jnp.einsum("bjc,co->bjo", xb[:, 1:], w1,
+                          preferred_element_type=jnp.float32))
+        y = y.astype(x.dtype) + c["b"]
+        # ChannelNorm over the channel axis (= last dim here), unbiased
+        # variance as in ops/basic.channel_norm
+        C = y.shape[-1]
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        cen = y - mean
+        var = jnp.sum(jnp.square(cen), axis=-1, keepdims=True) / (C - 1)
+        y = cen * jax.lax.rsqrt(var + 1e-5) * n["w"][:, 0] + n["b"][:, 0]
+        x = jax.nn.relu(y)
+    return x, new_state                               # (B, L/160, C)
+
+
 def encode_chunk_streaming(params: Params, new: jax.Array, conv_state: Params,
                            h0: jax.Array, c0: jax.Array,
                            downsample_kernel: int):

@@ -39,17 +39,16 @@ from jax.experimental.pallas import tpu as pltpu
 DEAD = 1e9  # age marker for invalid cache rows (bias -> -inf)
 
 
-def _kernel(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
-            *, H: int, scale: float):
-    Bb, T, D2 = kv_ref.shape
-    D = D2 // 2
+def _attend_math(q, k, v, kc, vc, age, *, H: int, scale: float,
+                 out_dtype):
+    """Single-set fused attend math (shared by both kernel bodies).
+
+    q/kc/vc: (Bb, D); k/v: (Bb, T, D); age: (Bb, T) f32.  Head-group
+    reductions ride tiny one-hot matmuls so every tensor keeps the
+    native 256-lane width (no (H, Dh) relayouts).
+    """
+    Bb, T, D = k.shape
     f32 = jnp.float32
-    q = q_ref[:]                                   # (Bb, D)
-    # one merged DMA for the adjacent k/v slots (cache_layout always
-    # stores each pair contiguously)
-    k = kv_ref[:, :, :D]                           # (Bb, T, D)
-    v = kv_ref[:, :, D:]
-    age = age_ref[:]                               # (Bb, T) f32
 
     # one-hot head-group matrix (D, H): G[d, h] = 1 iff d in head h
     d_ids = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0)
@@ -75,7 +74,7 @@ def _kernel(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
     s = s * scale - age[:, :, None] * m
 
     # current position (age 0, bias 0)
-    Pc = kc_ref[:].astype(f32) * q.astype(f32)             # (Bb, D)
+    Pc = kc.astype(f32) * q.astype(f32)                    # (Bb, D)
     s_cur = jax.lax.dot_general(
         Pc, G, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32) * scale                # (Bb, H)
@@ -95,11 +94,37 @@ def _kernel(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
     out = jnp.sum(wfull * v, axis=1, dtype=f32)            # (Bb, D)
     out = out + jax.lax.dot_general(
         w_cur, G.T, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32) * vc_ref[:].astype(f32)
+        preferred_element_type=f32) * vc.astype(f32)
     dfull = jax.lax.dot_general(
         denom, G.T, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32)                        # (Bb, D)
-    o_ref[:] = (out / dfull).astype(o_ref.dtype)
+    return (out / dfull).astype(out_dtype)
+
+
+def _kernel(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
+            *, H: int, scale: float):
+    """One k/v slot pair: kv block (Bb, T, 2D) = [k | v] columns."""
+    D = kv_ref.shape[-1] // 2
+    o_ref[:] = _attend_math(
+        q_ref[:], kv_ref[:, :, :D], kv_ref[:, :, D:], kc_ref[:], vc_ref[:],
+        age_ref[:], H=H, scale=scale, out_dtype=o_ref.dtype)
+
+
+def _kernel_pair(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
+                 *, H: int, scale: float):
+    """TWO adjacent k/v slot pairs in one invocation: kv block
+    (Bb, T, 4D) = [k0 | v0 | k1 | v1] columns, q/kc/vc/o (Bb, 2D) with
+    set s in columns [s*D:(s+1)*D].  The twin sets are unrolled in one
+    body so the whole phase is a single kernel launch over ONE
+    contiguous cache read."""
+    D = kv_ref.shape[-1] // 4
+    for s in range(2):
+        o_ref[:, s * D:(s + 1) * D] = _attend_math(
+            q_ref[:, s * D:(s + 1) * D],
+            kv_ref[:, :, 2 * s * D:(2 * s + 1) * D],
+            kv_ref[:, :, (2 * s + 1) * D:(2 * s + 2) * D],
+            kc_ref[:, s * D:(s + 1) * D], vc_ref[:, s * D:(s + 1) * D],
+            age_ref[:], H=H, scale=scale, out_dtype=o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("slot_k", "slot_v", "num_heads",
@@ -149,6 +174,66 @@ def fused_attend(cache: jax.Array, q: jax.Array, k_cur: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B, D), q.dtype),
         interpret=interpret,
     )(q, k_cur, v_cur, age, cache)
+
+
+@functools.partial(jax.jit, static_argnames=("pair_base", "num_heads",
+                                             "block", "interpret"))
+def fused_attend_pair(cache: jax.Array, q2: jax.Array, k_cur2: jax.Array,
+                      v_cur2: jax.Array, age: jax.Array, *, pair_base: int,
+                      num_heads: int = 4, block: int = 32,
+                      interpret: bool = False) -> jax.Array:
+    """TWO single-query attentions (the independent channel/tower twins of
+    one layer phase) in ONE pallas_call over ONE contiguous cache block.
+
+    cache_layout stores each phase's twin pairs adjacently, so the twin
+    attends read the single (Bb, T, 4D) block at pair index `pair_base`
+    — one kernel launch per phase (vs 2 for per-pair `fused_attend`)
+    and 2x the HBM burst length (2048 B vs 1024 B per cache row), the
+    two effects that dominate the dispatch-bound serving step
+    (PERF.md r3).
+
+    cache: (B, T, n_slots*D); q2/k_cur2/v_cur2: (B, 2, D) with set s at
+    [:, s]; age: (B, T) f32 shared by both sets.  Set s reads the cache
+    k/v pair `pair_base + s` (pair p = slots 2p, 2p+1).
+    Returns (B, 2, D).
+    """
+    B, T, nD = cache.shape
+    D = q2.shape[-1]
+    H = num_heads
+    assert H & (H - 1) == 0, "in-kernel AliBi slopes need power-of-2 heads"
+    assert 2 * (pair_base + 2) * D <= nD
+    # the (Bb, T, 4D) block is indexed at 4D granularity on the last dim
+    assert pair_base % 2 == 0, "twin pairs must start 4D-block-aligned"
+    scale = 1.0 / math.sqrt(D)
+    Bb = min(block, B)
+    if B % Bb:
+        Bb = math.gcd(B, Bb)
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    kern = functools.partial(_kernel_pair, H=H, scale=scale)
+    out = pl.pallas_call(
+        kern,
+        grid=(B // Bb,),
+        in_specs=[
+            pl.BlockSpec((Bb, 2 * D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # q (both sets)
+            pl.BlockSpec((Bb, 2 * D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # k_cur
+            pl.BlockSpec((Bb, 2 * D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # v_cur
+            pl.BlockSpec((Bb, T), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # age
+            pl.BlockSpec((Bb, T, 4 * D),
+                         lambda i: (i, 0, pair_base // 2),
+                         memory_space=pltpu.VMEM),          # 2 k/v pairs
+        ],
+        out_specs=pl.BlockSpec((Bb, 2 * D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * D), q2.dtype),
+        interpret=interpret,
+    )(q2.reshape(B, 2 * D), k_cur2.reshape(B, 2 * D),
+      v_cur2.reshape(B, 2 * D), age, cache)
+    return out.reshape(B, 2, D)
 
 
 def _alibi_slopes(n: int):

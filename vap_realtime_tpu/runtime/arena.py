@@ -27,6 +27,13 @@ from vap_realtime_tpu.runtime import incremental, streaming
 
 def _reset_slot(state, idx: jax.Array):
     """Zero one slot's recurrent state + validity counter (jit-friendly)."""
+    if isinstance(state, incremental.FastHybridState):
+        rows = jnp.stack([2 * idx, 2 * idx + 1])
+        return incremental.FastHybridState(
+            kv=_reset_slot(state.kv, idx),
+            conv={k: v.at[rows].set(0.0) for k, v in state.conv.items()},
+            e_ctx=state.e_ctx,  # masked by count (right-aligned validity)
+        )
     if isinstance(state, incremental.FastState):
         # conv tails are stored per CHANNEL-stream (B*2 leading axis):
         # slot idx owns rows 2*idx and 2*idx+1
@@ -69,7 +76,8 @@ class StreamArena:
         self.path = path
         # fast path consumes FRESH samples only (frame_shift, no
         # 320-sample overlap); all other paths take full overlapped frames
-        self.chunk_samples = (cfg.frame_shift if path == "fast"
+        self.chunk_samples = (cfg.frame_shift
+                              if path in ("fast", "fast_hybrid")
                               else cfg.frame_samples)
         self.params = jax.device_put(
             jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params))
@@ -77,6 +85,15 @@ class StreamArena:
             self.state = incremental.init_fast_state(cfg, capacity, dtype)
             step_fn = lambda p, st, ch, c, act: incremental.fast_step(
                 p, st, ch, c, act, slots=slots, attend_impl=attend_impl)
+            self._step = jax.jit(step_fn, static_argnums=3)
+        elif path == "fast_hybrid":
+            n = resync_every if resync_every is not None \
+                else cfg.context_frames
+            self.state = incremental.init_fast_hybrid_state(cfg, capacity,
+                                                            dtype)
+            step_fn = lambda p, st, ch, c, act: \
+                incremental.fast_hybrid_step(p, st, ch, c, act, n,
+                                             attend_impl)
             self._step = jax.jit(step_fn, static_argnums=3)
         elif path == "hybrid":
             n = resync_every if resync_every is not None \

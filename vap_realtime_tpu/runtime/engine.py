@@ -7,7 +7,7 @@ the compute is one jitted dispatch; the class only does host-side
 bookkeeping (accumulating 10 ms hops into model frames is the caller's or
 server's job, as in the reference).
 
-Four serving paths:
+Five serving paths:
 - "full":   parity-exact full recompute per frame (reference semantics)
 - "kv":     incremental KV-cache step (exact until the context window
             slides; see runtime/incremental.py)
@@ -18,6 +18,10 @@ Four serving paths:
             (chunk length = frame_shift, no 320-sample overlap); the
             throughput path (bench headline).  attend_impl selects the
             attention backend ("einsum" | "grouped" | "pallas").
+- "fast_hybrid": fast with a periodic trunk resync from the embedding
+            ring every `resync_every` frames — resync frames are exact
+            w.r.t. the full-trunk-over-fast-embeddings oracle and flush
+            the cached-K/V drift (tests/test_incremental.py).
 """
 
 from __future__ import annotations
@@ -96,10 +100,20 @@ class VapEngine:
             self._step = jax.jit(_hstep, static_argnums=3)
             self.state = incremental.init_hybrid_state(self.cfg, batch,
                                                        dtype)
+        elif path == "fast_hybrid":
+            n = self.resync_every
+
+            def _fhstep(p, st, ch, c, act=None):
+                return incremental.fast_hybrid_step(p, st, ch, c, act, n,
+                                                    attend_impl)
+
+            self._step = jax.jit(_fhstep, static_argnums=3)
+            self.state = incremental.init_fast_hybrid_state(self.cfg, batch,
+                                                            dtype)
         else:
             raise ValueError(
-                f"unknown path {path!r} "
-                "(use 'kv', 'full', 'hybrid', or 'fast')")
+                f"unknown path {path!r} (use 'kv', 'full', 'hybrid', "
+                "'fast', or 'fast_hybrid')")
 
         # latest results, reference-style fields (vap_main.py:235-241)
         self.result: Dict[str, Any] = {}
@@ -117,13 +131,15 @@ class VapEngine:
         """Samples the engine consumes per frame: frame_shift (fresh
         samples only) on the fast path, frame_samples (with the
         320-sample overlap) elsewhere."""
-        return (self.cfg.frame_shift if self.path == "fast"
+        return (self.cfg.frame_shift
+                if self.path in ("fast", "fast_hybrid")
                 else self.cfg.frame_samples)
 
     @property
     def frame_contxt_padding(self) -> int:
         from vap_realtime_tpu.config import FRAME_CONTEXT_PADDING
-        return 0 if self.path == "fast" else FRAME_CONTEXT_PADDING
+        return (0 if self.path in ("fast", "fast_hybrid")
+                else FRAME_CONTEXT_PADDING)
 
     def warmup(self) -> None:
         """Compile the step ahead of the first real frame."""

@@ -53,15 +53,23 @@ Params = Dict[str, Any]
 
 def cache_layout(cfg: VapConfig) -> List[str]:
     """Fixed slot order of the fused cache's last dim (28 x D for the
-    default 1 channel layer + 3 cross layers)."""
+    default 1 channel layer + 3 cross layers).
+
+    Order invariant: every k/v pair is adjacent, and the TWIN pairs of
+    each attend phase (the 2 channels of a channel layer; the 2 towers
+    of a stereo self- or cross-phase) are adjacent as well — so one
+    attend phase reads ONE contiguous (B, T, 4*D) cache block
+    (ops/pallas/attend.py `fused_attend_pair`: longer HBM bursts, one
+    kernel per phase)."""
     names = []
     for li in range(cfg.channel_layers):
         for ch in (0, 1):
             names += [f"ch{li}.{ch}.k", f"ch{li}.{ch}.v"]
     for li in range(cfg.cross_layers):
         for tw in (0, 1):
-            names += [f"x{li}.{tw}.sk", f"x{li}.{tw}.sv",
-                      f"x{li}.{tw}.ck", f"x{li}.{tw}.cv"]
+            names += [f"x{li}.{tw}.sk", f"x{li}.{tw}.sv"]
+        for tw in (0, 1):
+            names += [f"x{li}.{tw}.ck", f"x{li}.{tw}.cv"]
     return names
 
 
@@ -173,7 +181,6 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
     D, T, H = cfg.dim, cfg.context_frames, cfg.num_heads
     Dh = cfg.head_dim
     layout = cache_layout(cfg)
-    offset = {name: i * D for i, name in enumerate(layout)}
     dtype = state.cache.dtype
 
     # ages of cached rows relative to the current frame (age 0 = current,
@@ -188,7 +195,9 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
         live = live & (age < cfg.context_limit)
     # dead rows are encoded as a huge age: the -age*m_h bias underflows
     # to weight exactly 0 after softmax (shared by both attend impls)
-    from vap_realtime_tpu.ops.pallas.attend import DEAD, fused_attend
+    from vap_realtime_tpu.ops.pallas.attend import (
+        DEAD, fused_attend_pair,
+    )
     age_f = jnp.where(live, age.astype(jnp.float32), DEAD)  # (B, T)
     slopes = jnp.asarray(alibi_slopes(H), jnp.float32)      # (H,)
     # additive bias per (B, H, T): -age * m_h; current position bias = 0
@@ -199,18 +208,35 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
 
     new_vecs: Dict[str, jax.Array] = {}
 
-    def attend(q, k_cur, v_cur, k_name, v_name):
+    def attend_pair(q2, k2, v2, pair_base):
+        """TWIN single-query attentions (the 2 channels of a channel-GPT
+        layer, or the 2 towers of a stereo layer phase) in one go.
+
+        q2/k2/v2: (B, 2, D), set s at [:, s]; set s reads the cache k/v
+        pair `pair_base + s` — cache_layout keeps each phase's twin
+        pairs adjacent, so the pallas impl reads ONE contiguous
+        (B, T, 4D) block in ONE kernel launch (half the dispatches and
+        2x the HBM burst length of per-set attends); einsum/grouped
+        keep their per-set formulation unchanged.  Returns (B, 2, D).
+        """
+        if attend_impl == "pallas":
+            return fused_attend_pair(state.cache, q2.astype(dtype),
+                                     k2.astype(dtype), v2.astype(dtype),
+                                     age_f, pair_base=pair_base,
+                                     num_heads=H)
+        outs = []
+        for s_i in range(2):
+            p = pair_base + s_i
+            outs.append(attend(q2[:, s_i], k2[:, s_i], v2[:, s_i],
+                               2 * p * D, (2 * p + 1) * D))
+        return jnp.stack(outs, axis=1)
+
+    def attend(q, k_cur, v_cur, ko, vo):
         """Single-query attention over cached rows + current position.
 
         q, k_cur, v_cur: (B, D).  Cached K/V are slices of the fused
-        cache at this sub-layer's offsets.
+        cache at offsets ko/vo (in units of scalars on the last axis).
         """
-        ko, vo = offset[k_name], offset[v_name]
-        if attend_impl == "pallas":
-            return fused_attend(state.cache, q.astype(dtype),
-                                k_cur.astype(dtype), v_cur.astype(dtype),
-                                age_f, slot_k=ko // D, slot_v=vo // D,
-                                num_heads=H)
         if attend_impl == "grouped":
             # head-free formulation: all tensors stay at the native
             # D=256 lane width; per-head score/weight reductions go
@@ -267,53 +293,59 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
                .astype(jnp.float32))
         return out.reshape(B, D).astype(dtype)
 
-    def self_attn(x, layer, k_name, v_name):
-        z = layer_norm(x, layer["ln_self"]["w"], layer["ln_self"]["b"])
-        k = linear(z, layer["attn"]["k"])
-        v = linear(z, layer["attn"]["v"])
-        q = linear(z, layer["attn"]["q"])
-        new_vecs[k_name], new_vecs[v_name] = k, v
-        return linear(attend(q, k, v, k_name, v_name),
-                      layer["attn"]["proj"])
-
-    def cross_attn(x, src, layer, k_name, v_name):
-        # query from LN(x); K/V from the RAW pre-update other stream
-        # (modules.py:276-283 — src is not normalized)
-        z = layer_norm(x, layer["ln_src"]["w"], layer["ln_src"]["b"])
-        k = linear(src, layer["attn_cross"]["k"])
-        v = linear(src, layer["attn_cross"]["v"])
-        q = linear(z, layer["attn_cross"]["q"])
-        new_vecs[k_name], new_vecs[v_name] = k, v
-        return linear(attend(q, k, v, k_name, v_name),
-                      layer["attn_cross"]["proj"])
-
     def ffn(x, layer):
         h = layer_norm(x, layer["ln_ffn"]["w"], layer["ln_ffn"]["b"])
         return x + linear(gelu(linear(h, layer["ffn"]["w1"])),
                           layer["ffn"]["w2"])
 
-    # --- channel GPT ---
-    xs = [e[:, 0], e[:, 1]]
-    for li, layer in enumerate(params["ar_channel"]["layers"]):
-        for ch in (0, 1):
-            a = self_attn(xs[ch], layer, f"ch{li}.{ch}.k", f"ch{li}.{ch}.v")
-            xs[ch] = ffn(xs[ch] + a, layer)
-    o1, o2 = xs
+    # Both channels/towers ride a size-2 axis at dim 1 through every
+    # linear/LN (weights are shared across the twins, reference
+    # vap_main.py:108-115), so each projection is ONE (2B, D) matmul
+    # instead of two (B, D) ones and each attend phase ONE twin-pair
+    # attention — the per-step kernel-dispatch count is the serving
+    # bottleneck at these sizes (PERF.md r3).
 
-    # --- stereo GPT ---
-    x1, x2 = o1, o2
+    # --- channel GPT ---  x: (B, 2, D)
+    x = e
+    for li, layer in enumerate(params["ar_channel"]["layers"]):
+        z = layer_norm(x, layer["ln_self"]["w"], layer["ln_self"]["b"])
+        q = linear(z, layer["attn"]["q"])
+        k = linear(z, layer["attn"]["k"])
+        v = linear(z, layer["attn"]["v"])
+        for ch in (0, 1):
+            new_vecs[f"ch{li}.{ch}.k"] = k[:, ch]
+            new_vecs[f"ch{li}.{ch}.v"] = v[:, ch]
+        a = linear(attend_pair(q, k, v, 2 * li), layer["attn"]["proj"])
+        x = ffn(x + a, layer)
+    o1, o2 = x[:, 0], x[:, 1]
+
+    # --- stereo GPT ---  towers on the same size-2 axis
     for li, layer in enumerate(params["ar"]["layers"]):
-        pre = (x1, x2)
-        new = []
+        base = 2 * cfg.channel_layers + 4 * li
+        # self phase (both towers)
+        z = layer_norm(x, layer["ln_self"]["w"], layer["ln_self"]["b"])
+        q = linear(z, layer["attn"]["q"])
+        k = linear(z, layer["attn"]["k"])
+        v = linear(z, layer["attn"]["v"])
         for tw in (0, 1):
-            x, other = pre[tw], pre[1 - tw]
-            a = self_attn(x, layer, f"x{li}.{tw}.sk", f"x{li}.{tw}.sv")
-            x = x + a
-            c = cross_attn(x, other, layer, f"x{li}.{tw}.ck",
-                           f"x{li}.{tw}.cv")
-            x = ffn(x + c, layer)
-            new.append(x)
-        x1, x2 = new
+            new_vecs[f"x{li}.{tw}.sk"] = k[:, tw]
+            new_vecs[f"x{li}.{tw}.sv"] = v[:, tw]
+        a = linear(attend_pair(q, k, v, base), layer["attn"]["proj"])
+        x_mid = x + a
+        # cross phase: query from LN(x_mid); K/V from the RAW pre-update
+        # OTHER tower (modules.py:276-283 — src is not normalized), so
+        # project the own towers once and swap the twin axis
+        zc = layer_norm(x_mid, layer["ln_src"]["w"], layer["ln_src"]["b"])
+        qc = linear(zc, layer["attn_cross"]["q"])
+        kc = linear(x, layer["attn_cross"]["k"])[:, ::-1]
+        vc = linear(x, layer["attn_cross"]["v"])[:, ::-1]
+        for tw in (0, 1):
+            new_vecs[f"x{li}.{tw}.ck"] = kc[:, tw]
+            new_vecs[f"x{li}.{tw}.cv"] = vc[:, tw]
+        c = linear(attend_pair(qc, kc, vc, base + 2),
+                   layer["attn_cross"]["proj"])
+        x = ffn(x_mid + c, layer)
+    x1, x2 = x[:, 0], x[:, 1]
 
     xc = combinator(params["ar"]["combinator"], x1, x2)
 
@@ -568,7 +600,7 @@ def hybrid_step(params: Params, state: HybridState, chunk: jax.Array,
     resync (amortized: +T/resync_every relative FLOPs).
     """
     B = chunk.shape[0]
-    D, T = cfg.dim, cfg.context_frames
+    D = cfg.dim
     dtype = state.kv.cache.dtype
     if active is None:
         active = jnp.ones((B,), bool)
@@ -578,20 +610,36 @@ def hybrid_step(params: Params, state: HybridState, chunk: jax.Array,
         params["encoder"], flat, state.kv.lstm_h.reshape(B * 2, -1),
         state.kv.lstm_c.reshape(B * 2, -1), cfg.downsample_kernel)
     e = e.reshape(B, 2, D).astype(dtype)
-    h_new = h_new.reshape(B, 2, D)
-    c_new = c_new.reshape(B, 2, D)
+    kv2, e_ctx, outs = _hybrid_core(
+        params, state.kv, state.e_ctx, e, h_new.reshape(B, 2, D),
+        c_new.reshape(B, 2, D), cfg, active, resync_every)
+    return HybridState(kv=kv2, e_ctx=e_ctx), outs
+
+
+def _hybrid_core(params: Params, kv: KVState, e_ctx_prev: jax.Array,
+                 e: jax.Array, h_new: jax.Array, c_new: jax.Array,
+                 cfg: VapConfig, active: jax.Array, resync_every: int,
+                 attend_impl: str = "einsum"):
+    """Post-encoder hybrid step: ring append + cond(resync, incremental).
+
+    Shared by `hybrid_step` (chunked parity encoder) and
+    `fast_hybrid_step` (seamless streaming encoder) — the resync trunk is
+    encoder-agnostic because it recomputes from the raw embedding ring,
+    whichever encoder produced it.  Returns (kv2, e_ctx, outs).
+    """
+    T = cfg.context_frames
+    dtype = kv.cache.dtype
 
     # append to the embedding ring (frozen streams unchanged)
-    rolled = jnp.roll(state.e_ctx, -1, axis=2).at[:, :, -1, :].set(e)
-    e_ctx = jnp.where(active[:, None, None, None], rolled, state.e_ctx)
+    rolled = jnp.roll(e_ctx_prev, -1, axis=2).at[:, :, -1, :].set(e)
+    e_ctx = jnp.where(active[:, None, None, None], rolled, e_ctx_prev)
 
     def incr(_):
-        kv2, outs = _kv_core(params, state.kv, e, h_new, c_new, cfg,
-                             active, "stream")
+        kv2, outs = _kv_core(params, kv, e, h_new, c_new, cfg,
+                             active, "stream", attend_impl)
         return kv2, outs
 
     def resync(_):
-        kv = state.kv
         count2 = kv.count + active.astype(jnp.int32)
         probs, rows = _trunk_rows(params, e_ctx, count2, cfg)
         # realign ring order j to each stream's OWN slot c_j % T where
@@ -614,11 +662,95 @@ def hybrid_step(params: Params, state: HybridState, chunk: jax.Array,
         return kv2, probs
 
     if resync_every > 0:
-        is_resync = (state.kv.step + 1) % resync_every == 0
+        is_resync = (kv.step + 1) % resync_every == 0
         kv2, outs = jax.lax.cond(is_resync, resync, incr, None)
     else:
         kv2, outs = incr(None)
-    return HybridState(kv=kv2, e_ctx=e_ctx), outs
+    return kv2, e_ctx, outs
+
+
+# ---------------------------------------------------------------------------
+# Fast-hybrid path: streaming conv encoder + incremental KV + periodic resync
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass
+class FastHybridState:
+    """FastState plus the embedding ring for resync.
+
+    The resync trunk recomputes from the ring of FAST (seamless
+    streaming-conv) embeddings, so resync frames are exact w.r.t. a full
+    trunk over the fast encoder's own embeddings — it flushes the
+    StreamingLLM K/V drift; the (documented, bounded) encoder-numerics
+    delta vs the reference's chunked pad+trim recipe remains (see
+    `fast_step`).
+    """
+
+    kv: KVState
+    conv: Dict[str, jax.Array]
+    e_ctx: jax.Array
+
+
+def init_fast_hybrid_state(cfg: VapConfig, batch: int = 1,
+                           dtype=jnp.float32) -> FastHybridState:
+    from vap_realtime_tpu.models.encoder import init_conv_stream_state
+
+    D, T = cfg.dim, cfg.context_frames
+    return FastHybridState(
+        kv=init_kv_state(cfg, batch, dtype),
+        conv=init_conv_stream_state(batch * 2, cfg.encoder_dim, dtype),
+        e_ctx=jnp.zeros((batch, 2, T, D), dtype),
+    )
+
+
+def fast_hybrid_step(params: Params, state: FastHybridState, new: jax.Array,
+                     cfg: VapConfig, active: jax.Array | None = None,
+                     resync_every: int = 0, attend_impl: str = "einsum"
+                     ) -> Tuple[FastHybridState, Dict[str, jax.Array]]:
+    """Fast path with periodic drift-flushing resync.
+
+    new: (B, 2, 16000//frame_hz) FRESH samples (fast framing).  Every
+    `resync_every`-th tick the trunk recomputes from the embedding ring:
+    that frame's outputs are EXACT w.r.t. the full-trunk-over-fast-
+    embeddings oracle (`resync_every=1` degenerates to it) and the cache
+    is rewritten drift-free, so inter-resync deviation is bounded by at
+    most `resync_every` frames of StreamingLLM drift (VERDICT r2 item 4).
+    """
+    from vap_realtime_tpu.models.encoder import encode_chunk_streaming
+
+    B = new.shape[0]
+    D = cfg.dim
+    dtype = state.kv.cache.dtype
+    if active is None:
+        active = jnp.ones((B,), bool)
+
+    flat = new.reshape(B * 2, -1)
+    e, conv2, h_new, c_new = encode_chunk_streaming(
+        params["encoder"], flat, state.conv,
+        state.kv.lstm_h.reshape(B * 2, -1),
+        state.kv.lstm_c.reshape(B * 2, -1), cfg.downsample_kernel)
+    e = e.reshape(B, 2, D).astype(dtype)
+
+    act2 = jnp.repeat(active, 2)
+    conv2 = {k: jnp.where(act2[:, None, None], v.astype(dtype),
+                          state.conv[k])
+             for k, v in conv2.items()}
+    kv2, e_ctx, outs = _hybrid_core(
+        params, state.kv, state.e_ctx, e, h_new.reshape(B, 2, D),
+        c_new.reshape(B, 2, D), cfg, active, resync_every, attend_impl)
+    return FastHybridState(kv=kv2, conv=conv2, e_ctx=e_ctx), outs
+
+
+def run_frames_fast_hybrid(params: Params, state: FastHybridState,
+                           frames: jax.Array, cfg: VapConfig,
+                           resync_every: int):
+    """`lax.scan` of fast_hybrid_step over (F, B, 2, frame_shift)."""
+
+    def body(st, chunk):
+        return fast_hybrid_step(params, st, chunk, cfg,
+                                resync_every=resync_every)
+
+    return jax.lax.scan(body, state, frames)
 
 
 def run_frames_hybrid(params: Params, state: HybridState, frames: jax.Array,

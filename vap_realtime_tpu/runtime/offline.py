@@ -33,18 +33,24 @@ def run_offline(params, audio: np.ndarray, cfg: VapConfig,
                 path: str = "full",
                 attend_impl: str = "einsum") -> Dict[str, np.ndarray]:
     """audio: (2, N) float32 -> dict of per-frame outputs + timestamps."""
-    if path == "fast":
-        # fast path consumes disjoint fresh-sample chunks; frame k
+    if path in ("fast", "fast_hybrid"):
+        # fast paths consume disjoint fresh-sample chunks; frame k
         # summarizes audio ending at (k+1)*frame_shift (no 320-sample
         # look-ahead — documented fast-path alignment)
         shift = cfg.frame_shift
         F = audio.shape[-1] // shift
         frames = np.stack([audio[..., i * shift:(i + 1) * shift]
                            for i in range(F)])[:, None]   # (F, 1, 2, S')
-        state = incremental.init_fast_state(cfg, 1)
-        run = jax.jit(
-            lambda p, st, fr, c: incremental.run_frames_fast(
-                p, st, fr, c, attend_impl=attend_impl), static_argnums=3)
+        if path == "fast_hybrid":
+            state = incremental.init_fast_hybrid_state(cfg, 1)
+            run = jax.jit(
+                lambda p, st, fr, c: incremental.run_frames_fast_hybrid(
+                    p, st, fr, c, c.context_frames), static_argnums=3)
+        else:
+            state = incremental.init_fast_state(cfg, 1)
+            run = jax.jit(
+                lambda p, st, fr, c: incremental.run_frames_fast(
+                    p, st, fr, c, attend_impl=attend_impl), static_argnums=3)
         _, outs = run(params, state, jnp.asarray(frames), cfg)
         outs = {k: np.asarray(v[:, 0]) for k, v in outs.items()}
         outs["t"] = (np.arange(F) + 1) * shift / cfg.sample_rate
@@ -95,7 +101,7 @@ def main(argv: Optional[list] = None) -> None:
     ap.add_argument("--vap_process_rate", type=int, default=20)
     ap.add_argument("--context_len_sec", type=float, default=2.5)
     ap.add_argument("--engine_path",
-                    choices=["full", "kv", "hybrid", "fast"],
+                    choices=["full", "kv", "hybrid", "fast", "fast_hybrid"],
                     default="full",
                     help="'full' = parity-exact recompute, 'kv' = "
                          "incremental KV cache, 'fast' = streaming conv "

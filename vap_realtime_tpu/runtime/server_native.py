@@ -104,7 +104,8 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--context_len_sec", type=float, default=2.5)
     ap.add_argument("--mode", choices=["vap", "bc", "nod"], default="vap")
     ap.add_argument("--engine_path",
-                    choices=["full", "kv", "hybrid", "fast"], default="kv")
+                    choices=["full", "kv", "hybrid", "fast", "fast_hybrid"],
+                    default="kv")
     ap.add_argument("--attend_impl",
                     choices=["einsum", "grouped", "pallas"],
                     default="einsum")

@@ -290,6 +290,14 @@ def fit(vap_cfg: VapConfig, data_cfg: DataConfig, opt_cfg: OptConfig,
                     plateau = 0
                     msg += f" [lr -> {lr:.2e}]"
                 if early >= opt_cfg.early_stopping_patience:
+                    # keep last.npz current even on the early-stop exit
+                    # (otherwise it would be one epoch stale — or missing
+                    # entirely if the stop fires on this run's first epoch)
+                    save_train_state(
+                        os.path.join(ckpt_dir, "last.npz"), params,
+                        opt_state, rng,
+                        {"epoch": epoch, "lr": lr, "best_val": best_val,
+                         "plateau": plateau, "early": early})
                     log_fn(msg + " [early stop]")
                     break
         # full-state "last" checkpoint: resuming from it continues the
