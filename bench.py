@@ -47,8 +47,8 @@ def log(*a):
 
 
 def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
-                 chunk_samples: int, f_short: int = 4, f_long: int = 24
-                 ) -> float:
+                 chunk_samples: int, f_short: int = 4, f_long: int = 24,
+                 dtype=None) -> float:
     """Steady-state seconds per batched frame-step.
 
     NOTE on methodology: through the axon TPU relay `block_until_ready`
@@ -62,7 +62,10 @@ def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
     chunk = jnp.asarray(
         rng.randn(batch, 2, chunk_samples).astype(np.float32) * 0.1)
     state0 = init_state_fn(cfg, batch)
-    dtype = jax.tree_util.tree_leaves(state0)[0].dtype
+    if dtype is None:
+        # compute dtype (NOT the cache dtype — int8-quantized states
+        # carry an int8 cache leaf)
+        dtype = jax.tree_util.tree_leaves(state0)[0].dtype
     chunk = chunk.astype(dtype)
 
     def make_runner(F):
@@ -98,7 +101,8 @@ def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
 def variant(name: str):
     """name -> (step_fn, init_fn, chunk_kind, dtype).
 
-    Names: {full,kv,fast,hybrid}[_pallas]_{f32,bf16}
+    Names: {full,kv,kvstream,fast,faststream,hybrid}[_pallas|_grouped]
+    [_q8]_{f32,bf16}; "q8" = int8 KV cache with per-row dequant scales.
     chunk_kind: "frame" (16000//hz + 320) or "shift" (16000//hz).
     """
     from vap_realtime_tpu.runtime.incremental import (
@@ -113,29 +117,34 @@ def variant(name: str):
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[parts[-1]]
     attend = ("pallas" if "pallas" in parts
               else "grouped" if "grouped" in parts else "einsum")
+    quant = "q8" in parts                  # int8 KV cache + row scales
     path = parts[0]
     if path == "full":
         return stream_step, init_stream_state, "frame", dtype
     if path == "kv":
         step = functools.partial(kv_step, slots="global",
                                  attend_impl=attend)
-        return step, init_kv_state, "frame", dtype
+        return step, functools.partial(init_kv_state, quant=quant), \
+            "frame", dtype
     if path == "kvstream":
         # VapEngine's default serving config: slots="stream" does a
         # per-stream row scatter instead of the scalar-slot update —
         # measured so the engine default is a known tradeoff (ADVICE r2)
         step = functools.partial(kv_step, slots="stream",
                                  attend_impl=attend)
-        return step, init_kv_state, "frame", dtype
+        return step, functools.partial(init_kv_state, quant=quant), \
+            "frame", dtype
     if path == "fast":
         step = functools.partial(fast_step, slots="global",
                                  attend_impl=attend)
-        return step, init_fast_state, "shift", dtype
+        return step, functools.partial(init_fast_state, quant=quant), \
+            "shift", dtype
     if path == "faststream":
         # the StreamArena default (slots="stream") on the fast path
         step = functools.partial(fast_step, slots="stream",
                                  attend_impl=attend)
-        return step, init_fast_state, "shift", dtype
+        return step, functools.partial(init_fast_state, quant=quant), \
+            "shift", dtype
     if path == "hybrid":
         def step(p, s, c, cfg):
             return hybrid_step(p, s, c, cfg,
@@ -150,7 +159,8 @@ def run_variant(name: str, cfg, params_by_dtype, batch: int):
                      else cfg.frame_shift)
     init_d = functools.partial(init, dtype=dtype)
     params = params_by_dtype[dtype]
-    dt = measure_path(step, init_d, params, cfg, batch, chunk_samples)
+    dt = measure_path(step, init_d, params, cfg, batch, chunk_samples,
+                      dtype=dtype)
     return dt
 
 
@@ -217,8 +227,10 @@ def main():
                         "streams_per_chip": round(gB / (dt * hz)),
                     }
                     log(f"[grid] {key}: {dt*1e3:.2f} ms/step")
-        with open(grid_out, "w") as f:
-            json.dump(grid, f, indent=2, sort_keys=True)
+                    # write after every entry: remote compiles are slow
+                    # enough that a partial grid beats none on timeout
+                    with open(grid_out, "w") as f:
+                        json.dump(grid, f, indent=2, sort_keys=True)
         log(f"grid written to {grid_out}")
 
     if os.environ.get("BENCH_PROFILE"):

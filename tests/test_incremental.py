@@ -289,3 +289,76 @@ def test_batch_consistency():
     _, kv3, _ = _outputs(cfg, seconds=1, batch=3)
     np.testing.assert_allclose(np.asarray(kv3["p_now"][:, 2]),
                                np.asarray(kv1["p_now"][:, 0]), atol=1e-6)
+
+
+def test_int8_kv_cache_tracks_bf16():
+    """int8-quantized KV cache (half the HBM read traffic, 2x stream
+    capacity — the bandwidth-bound trunk's lever, PERF.md r3): output
+    deviation vs the unquantized cache stays ~1e-4 on probabilities,
+    on every attend impl, including past the window slide."""
+    import functools
+
+    from vap_realtime_tpu.runtime.incremental import kv_step
+
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    params = synthetic_params(frame_hz=20)
+    audio = synthetic_audio(16000 * 2)
+    frames = frame_audio(audio, cfg)[:, None]
+    assert frames.shape[0] > cfg.context_frames  # slides
+
+    outs = {}
+    for quant in (False, True):
+        for impl in ("einsum", "pallas"):
+            step = jax.jit(functools.partial(kv_step, cfg=cfg,
+                                             attend_impl=impl))
+            st = init_kv_state(cfg, 1, quant=quant)
+            ps = []
+            for f in range(frames.shape[0]):
+                st, out = step(params, st, jnp.asarray(frames[f]))
+                ps.append(np.asarray(out["p_now"]))
+            outs[(quant, impl)] = np.stack(ps)
+
+    d_quant = np.abs(outs[(True, "einsum")] - outs[(False, "einsum")]).max()
+    d_impl = np.abs(outs[(True, "pallas")] - outs[(True, "einsum")]).max()
+    print(f"\n[int8-kv] quant-vs-bf16 max={d_quant:.2e} "
+          f"pallas-vs-einsum(quant) max={d_impl:.2e}")
+    assert d_quant < 5e-3, d_quant     # measured ~2e-5; bound is 100x
+    assert d_impl < 1e-4, d_impl
+
+
+def test_int8_fast_arena_interleave():
+    """Quantized cache composes with the fast path + arena slot
+    lifecycle: a jittery stream's outputs equal its solo run."""
+    from vap_realtime_tpu.runtime.arena import StreamArena
+
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    params = synthetic_params(frame_hz=20)
+    rs = np.random.RandomState(3)
+    chunks = [rs.randn(2, cfg.frame_shift).astype(np.float32) * 0.1
+              for _ in range(12)]
+
+    def run(jitter):
+        arena = StreamArena(cfg, params, capacity=3, path="fast",
+                            quant_cache=True)
+        slot = arena.add_stream()
+        other = arena.add_stream()
+        got = []
+        k = 0
+        for tick in range(24):
+            feed = {}
+            if not jitter or tick % 2 == 0:
+                if k < len(chunks):
+                    feed[slot] = chunks[k]
+                    k += 1
+            if jitter:
+                feed[other] = rs.randn(2, cfg.frame_shift).astype(
+                    np.float32)
+            if feed:
+                out = arena.step(feed)
+                if slot in out:
+                    got.append(out[slot]["p_now"])
+        return np.stack(got)
+
+    solo = run(jitter=False)
+    jittery = run(jitter=True)
+    np.testing.assert_allclose(jittery, solo[:len(jittery)], atol=2e-5)

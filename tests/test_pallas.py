@@ -67,11 +67,13 @@ class TestFusedAttend:
     """Pallas fused single-query KV-step attention (ops/pallas/attend.py)
     vs the einsum reference, interpret mode on CPU."""
 
-    def _inputs(self, B=8, T=12, n=6, D=256, seed=0):
+    def _inputs(self, B=8, T=12, n=8, D=256, seed=0):
         import numpy as np
         import jax.numpy as jnp
         rs = np.random.RandomState(seed)
-        cache = jnp.asarray(rs.randn(B, T, n * D).astype(np.float32) * 0.3)
+        # phase-major cache: (B, P, T, 4D), global slot s -> phase s//4
+        cache = jnp.asarray(
+            rs.randn(B, n // 4, T, 4 * D).astype(np.float32) * 0.3)
         q = jnp.asarray(rs.randn(B, D).astype(np.float32) * 0.3)
         kc = jnp.asarray(rs.randn(B, D).astype(np.float32) * 0.3)
         vc = jnp.asarray(rs.randn(B, D).astype(np.float32) * 0.3)
@@ -94,6 +96,32 @@ class TestFusedAttend:
                                     slot_v=slot_v)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        atol=2e-5)
+
+    def test_pair_matches_einsum_reference(self):
+        """fused_attend_pair (the serving kernel: one launch per layer
+        phase over one contiguous cache plane) == per-pair reference."""
+        import numpy as np
+        import jax.numpy as jnp
+        from vap_realtime_tpu.ops.pallas.attend import (
+            attend_reference, fused_attend_pair,
+        )
+
+        cache, q, kc, vc, age = self._inputs()
+        q2 = jnp.stack([q, q * 0.5], axis=1)      # distinct twin queries
+        kc2 = jnp.stack([kc, kc * 0.7], axis=1)
+        vc2 = jnp.stack([vc, vc * 1.3], axis=1)
+        for pair_base in (0, 2):                   # phases 0 and 1
+            got = fused_attend_pair(cache, q2, kc2, vc2, age,
+                                    pair_base=pair_base, block=8,
+                                    interpret=True)
+            for s in range(2):
+                pair = pair_base + s
+                want = attend_reference(
+                    cache, q2[:, s], kc2[:, s], vc2[:, s], age,
+                    slot_k=2 * pair, slot_v=2 * pair + 1)
+                np.testing.assert_allclose(np.asarray(got[:, s]),
+                                           np.asarray(want), atol=2e-5,
+                                           err_msg=f"pair {pair}")
 
     def test_all_rows_dead(self):
         """Cold start: only the current position is attendable."""

@@ -182,8 +182,8 @@ def main():
     fresh = jnp.asarray(rng.randn(B, 2, cfg.frame_shift)
                         .astype(np.float32) * 0.1).astype(jnp.bfloat16)
 
-    def fast_body(attend_impl):
-        state0 = init_fast_state(cfg, B, dtype=jnp.bfloat16)
+    def fast_body(attend_impl, quant=False):
+        state0 = init_fast_state(cfg, B, dtype=jnp.bfloat16, quant=quant)
 
         def body(carry):
             st, ch = carry
@@ -202,6 +202,12 @@ def main():
         body, carry = fast_body("einsum")
         results["fast_einsum"] = timed_scan(body, carry)
         log(f"fast_step (einsum):  {results['fast_einsum']*1e3:8.2f} ms")
+
+    if "fast_q8" in stages:
+        body, carry = fast_body("pallas", quant=True)
+        results["fast_q8"] = timed_scan(body, carry)
+        log(f"fast_step (pallas, int8 cache): "
+            f"{results['fast_q8']*1e3:8.2f} ms")
 
     if "enc_stream" in stages:
         flat = fresh.reshape(B2, -1)
@@ -300,7 +306,8 @@ def main():
 
     # ---- cache-copy hypothesis probes (r3): is the scan-carried fused
     # cache updated in place or copied every step? ----
-    if {"trunk_pallas", "trunk_nowrite", "cachewrite"} & set(stages):
+    if {"trunk_pallas", "trunk_nowrite", "trunk_einsum_nowrite",
+            "cachewrite"} & set(stages):
         from vap_realtime_tpu.runtime.incremental import KVState, _kv_core
 
         e0 = jnp.asarray(rng.randn(B, 2, cfg.dim)
@@ -316,9 +323,10 @@ def main():
                 if not write:
                     # reads only: the row write (and its feeding concat)
                     # get DCE'd — isolates the write+carry-copy cost
-                    st2 = KVState(cache=st.cache, lstm_h=st2.lstm_h,
-                                  lstm_c=st2.lstm_c, count=st2.count,
-                                  stamp=st.stamp, step=st2.step)
+                    st2 = KVState(cache=st.cache, scale=st.scale,
+                                  lstm_h=st2.lstm_h, lstm_c=st2.lstm_c,
+                                  count=st2.count, stamp=st.stamp,
+                                  step=st2.step)
                 e = e * 0.999 + 1e-4 * jnp.sum(
                     out["p_now"]).astype(e.dtype)
                 return (st2, e)
@@ -335,6 +343,11 @@ def main():
                 mk_trunk(False, "pallas"), (st0, e0))
             log(f"trunk only (pallas, NO write): "
                 f"{results['trunk_nowrite']*1e3:8.2f} ms")
+        if "trunk_einsum_nowrite" in stages:
+            results["trunk_einsum_nowrite"] = timed_scan(
+                mk_trunk(False, "einsum"), (st0, e0))
+            log(f"trunk only (einsum, NO write): "
+                f"{results['trunk_einsum_nowrite']*1e3:8.2f} ms")
         if "cachewrite" in stages:
             nD = st0.cache.shape[-1]
             row = jnp.ones((B, 1, nD), jnp.bfloat16)
@@ -349,6 +362,111 @@ def main():
                 body, (st0.cache, jnp.int32(0)))
             log(f"bare loop-carried row write: "
                 f"{results['cachewrite']*1e3:8.2f} ms")
+
+    if "cacheread" in stages:
+        # pure pallas cache read: same (Bb, 1, T, 4D) phase blocks as the
+        # 7 attend launches, kernel body = running sum.  Isolates the
+        # DMA cost of streaming the whole cache from the attend compute.
+        import functools as ft
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        st0 = init_kv_state(cfg, B, dtype=jnp.bfloat16)
+        Pn = st0.cache.shape[1]
+        T = cfg.context_frames
+        D4 = st0.cache.shape[-1]
+        Bb = 32
+
+        def _sum_kernel(kv_ref, o_ref):
+            i, p = pl.program_id(0), pl.program_id(1)
+
+            @pl.when((i == 0) & (p == 0))
+            def _():
+                o_ref[:] = jnp.zeros_like(o_ref)
+            o_ref[:] += jnp.sum(kv_ref[:, 0].astype(jnp.float32),
+                                axis=(0, 1))[None]        # (1, D4)
+
+        def read_all(cache):
+            return pl.pallas_call(
+                _sum_kernel,
+                grid=(B // Bb, Pn),
+                in_specs=[pl.BlockSpec((Bb, 1, T, D4),
+                                       lambda i, p: (i, p, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, D4), lambda i, p: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((1, D4), jnp.float32),
+            )(cache)
+
+        def body(carry):
+            cache, acc = carry
+            s = read_all(cache)
+            acc = acc + jnp.sum(s)
+            # perturb ONE tiny slice so the read isn't loop-invariant
+            # (a full-tensor op here would add its own 5.9 GB of traffic)
+            patch = (acc * 1e-20).astype(cache.dtype) * jnp.ones(
+                (1, 1, 1, 128), cache.dtype)
+            cache = jax.lax.dynamic_update_slice(cache, patch,
+                                                 (0, 0, 0, 0))
+            return (cache, acc)
+        results["cacheread"] = timed_scan(
+            body, (st0.cache + 1.0, jnp.float32(0)))
+        gb = B * Pn * T * D4 * 2 / 1e9
+        log(f"pallas cache read ({gb:.2f} GB): "
+            f"{results['cacheread']*1e3:8.2f} ms -> "
+            f"{gb/results['cacheread']:,.0f} GB/s")
+
+    if "hbm" in stages:
+        # raw streaming-bandwidth probe: how fast can this chip (through
+        # the relay) actually move HBM?  x = x * c reads + writes the
+        # whole buffer once per iteration.
+        GB = 2
+        n = GB * 1024**3 // 2 // (1024 * 1024)
+        x0 = (jnp.ones((n, 1024, 1024), jnp.bfloat16), jnp.float32(1.0))
+
+        def body(carry):
+            x, s = carry
+            # iteration-dependent multiplier: not algebraically foldable
+            x = x * s.astype(jnp.bfloat16)
+            return (x, s * 1.000001 + 1e-9)
+        dt = timed_scan(body, x0)
+        results["hbm"] = dt
+        gbs = 2 * GB / dt
+        log(f"hbm stream ({GB} GB r+w): {dt*1e3:8.2f} ms -> {gbs:,.0f} GB/s")
+
+    if "opchain" in stages:
+        # per-op overhead probe: N chained SMALL matmuls (the trunk's
+        # op shape) per iteration.  Marginal cost per op = slope over N.
+        y0 = jnp.ones((B, 256), jnp.bfloat16)
+        w0 = jnp.eye(256, dtype=jnp.bfloat16) * 0.999
+
+        def chain(n):
+            def body(carry):
+                y, w = carry
+                for _ in range(n):
+                    y = jnp.matmul(y, w, preferred_element_type=jnp.float32
+                                   ).astype(jnp.bfloat16)
+                return (y, w * 1.0000001)
+            return body
+        t10 = timed_scan(chain(10), (y0, w0))
+        t50 = timed_scan(chain(50), (y0, w0))
+        per_op = (t50 - t10) / 40
+        results["opchain"] = per_op
+        log(f"chained (B,256)x(256,256) matmuls: {t10*1e3:.2f} ms @10, "
+            f"{t50*1e3:.2f} ms @50 -> {per_op*1e6:,.0f} us/op")
+
+    if "mxu" in stages:
+        # matmul peak probe (4096^2 bf16 chain)
+        a0 = jnp.ones((4096, 4096), jnp.bfloat16)
+
+        def body(a):
+            return jnp.matmul(a, a, preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16) * 1e-3
+        dt = timed_scan(body, a0)
+        results["mxu"] = dt
+        tf = 2 * 4096**3 / dt / 1e12
+        log(f"mxu probe: {dt*1e3:8.2f} ms -> {tf:,.0f} TFLOP/s")
 
     if "trunk_fast" in stages and "fast" in results and \
             "enc_stream" in results:

@@ -57,13 +57,18 @@ def main(argv=None):
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args(argv)
 
-    try:
-        from tensorflow.core.profiler.protobuf import xplane_pb2
-    except ImportError:
-        try:  # newer TF layout
-            from tensorflow.python.profiler.protobuf import xplane_pb2
-        except ImportError as e:
-            raise SystemExit(f"needs tensorflow for xplane_pb2: {e}")
+    xplane_pb2 = None
+    for mod in ("tensorflow.core.profiler.protobuf.xplane_pb2",
+                "tensorflow.python.profiler.protobuf.xplane_pb2",
+                "tensorflow.tsl.profiler.protobuf.xplane_pb2"):
+        try:
+            import importlib
+            xplane_pb2 = importlib.import_module(mod)
+            break
+        except ImportError:
+            continue
+    if xplane_pb2 is None:
+        raise SystemExit("needs tensorflow's xplane_pb2 (none importable)")
 
     files = find_xplanes(args.trace_dir)
     if not files:

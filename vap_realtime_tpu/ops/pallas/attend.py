@@ -1,24 +1,34 @@
 """Fused single-query KV-step attention — Pallas TPU kernel.
 
 The incremental serving step (runtime/incremental.py `_kv_core`) issues
-14 single-query attentions per frame over slices of the fused
-(B, T, 28*D) cache.  XLA's lowering of the per-head einsums
+14 single-query attentions per frame over the phase-major
+(B, P, T, 4*D) cache.  XLA's lowering of the per-head einsums
 ("bhd,bthd->bht" with head_dim 64) relayouts to 64-lane tiles and runs
 ~4x slower than the raw cache-read bound (measured r2: 30 ms for the 14
 attends at B=4096 vs 8.5 ms to stream the same bytes).
 
-This kernel keeps every tensor at the native 256-lane width and reduces
-over heads with tiny one-hot "group" matmuls instead of reshaping to
-(H, Dh):
+This kernel keeps every tensor at the native 256-lane width and sums
+over heads by multiplying with a block-diagonal (D, D) head-BROADCAST
+matrix M (M[d,d'] = 1 iff head(d) == head(d')):
 
-    s[b,t,h]   = (sum_d q[b,d] k[b,t,d] G[d,h]) * scale - age[b,t] m_h
-    w          = softmax over the T cached rows + the current position
-    out[b,d]   = sum_t w[b,t,head(d)] v[b,t,d]  (+ current-position term)
+    s[b,t,d]   = (sum_d' q[b,d'] k[b,t,d'] M[d',d]) * scale - age[b,t] m_d
+    w          = softmax over the T cached rows + current pos, per lane
+    out[b,d]   = sum_t w[b,t,d] v[b,t,d]  (+ current-position term)
+
+Scores land broadcast on every lane of their head, so the softmax runs
+in broadcast form and NO head-expansion matmuls are needed afterwards:
+2 MXU matmuls per set, both N=256.  (r2's one-hot (D, H) reduction
+needed 4 matmuls per set with N=4/K=4 — shapes that cost like N=128 on
+the 128x128 systolic array; the trace showed those kernels at 16.2 ms
+of the 29 ms step.  A matmul-free per-head VPU variant was also tried
+and measured slower, 37 ms/step, from per-head (Bb, T) layout changes.
+PERF.md r3.)
 
 All reads (k, v blocks) stream HBM->VMEM once; softmax runs in fp32;
 no intermediate ever round-trips HBM.  One `pallas_call` handles one
-k/v slot pair; the caller loops over the 14 pairs (they are chained by
-the transformer anyway).
+PHASE — both twin k/v pairs of a layer phase, one contiguous
+(Bb, 1, T, 4D) block of the phase-major cache — so the serving step
+issues 7 launches over 7 sequential reads (see `fused_attend_pair`).
 
 Matches the semantics of `_kv_core.attend` exactly (age bias, dead-row
 masking, distance-only AliBi, deferred current-position write);
@@ -40,89 +50,119 @@ DEAD = 1e9  # age marker for invalid cache rows (bias -> -inf)
 
 
 def _attend_math(q, k, v, kc, vc, age, *, H: int, scale: float,
-                 out_dtype):
+                 out_dtype, row_scale=None):
     """Single-set fused attend math (shared by both kernel bodies).
 
-    q/kc/vc: (Bb, D); k/v: (Bb, T, D); age: (Bb, T) f32.  Head-group
-    reductions ride tiny one-hot matmuls so every tensor keeps the
-    native 256-lane width (no (H, Dh) relayouts).
+    q/kc/vc: (Bb, D); k/v: (Bb, T, D); age: (Bb, T) f32.
+
+    Head-group reductions ride one-hot matmuls so every tensor keeps
+    the native 256-lane width (no (H, Dh) relayouts).
+
+    row_scale: (Bb, T) f32 dequant scales when k/v are int8-quantized
+    (one scale per cached row) — scores and value sums are rescaled per
+    row, so dequant never materializes a full bf16 copy of the block.
     """
     Bb, T, D = k.shape
+    Dh = D // H
     f32 = jnp.float32
+    if row_scale is not None:
+        k = k.astype(q.dtype)
+        v = v.astype(q.dtype)
 
-    # one-hot head-group matrix (D, H): G[d, h] = 1 iff d in head h
-    d_ids = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0)
-    h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
-    G = (d_ids // (D // H) == h_ids).astype(f32)
-    # AliBi slopes, closed form for power-of-2 H: m_h = 2^(-8(h+1)/H)
-    # (ofirpress/attention_with_linear_biases; modules.py:126-159) —
-    # computed in-kernel (pallas kernels cannot capture constant arrays)
-    hh = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H), 2)
-    m = jnp.exp2(-8.0 * (hh.astype(f32) + 1.0) / H)        # (1, 1, H)
+    # block-diagonal head-broadcast-sum matrix (D, D):
+    # M[d, d'] = 1 iff head(d) == head(d').  P @ M puts every head's
+    # score on ALL of that head's lanes at once, so the softmax runs in
+    # broadcast form and the weighted value sum needs NO head-expansion
+    # matmuls afterwards.  (The r2 one-hot (D, H) design needed 4 MXU
+    # matmuls per set — N=4/K=4 shapes that cost like N=128 ones on the
+    # 128x128 array: the trace showed the 7 attend kernels at 16.2 ms
+    # of the 29 ms step.  This form needs 2, both N=256.  A matmul-free
+    # per-head VPU variant was also tried: slower, 37 ms/step, from
+    # (Bb, T)-shaped layout changes.  PERF.md r3.)
+    di = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+    dj = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+    M = (di // Dh == dj // Dh).astype(k.dtype)
+    # per-lane AliBi slope m[d] = 2^(-8(head(d)+1)/H), closed form for
+    # power-of-2 H (ofirpress/attention_with_linear_biases;
+    # modules.py:126-159) — computed in-kernel (pallas kernels cannot
+    # capture constant arrays)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
+    m = jnp.exp2(-8.0 * ((lane // Dh).astype(f32) + 1.0) / H)
 
-    # scores over cached rows: P = q*k elementwise, reduce per head group
-    # (P stays in the cache dtype to keep VMEM pressure low; the group
-    # reduction accumulates in f32 on the MXU)
+    # scores over cached rows: P = q*k elementwise, head-summed by M
     P = k * q[:, None, :]                                  # (Bb, T, D)
     s = jax.lax.dot_general(
-        P.reshape(Bb * T, D), G.astype(P.dtype),
+        P.reshape(Bb * T, D), M,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32).reshape(Bb, T, H)      # (Bb, T, H)
+        preferred_element_type=f32).reshape(Bb, T, D)      # broadcast
     # dead rows carry age = DEAD (1e9): the -age*m_h bias is <= -3.9e6,
     # which underflows to exactly 0 after the max-subtracted exp — no
     # boolean mask needed (Mosaic cannot insert minor dims on i1).
+    if row_scale is not None:
+        s = s * row_scale[:, :, None]      # per-row int8 dequant
     s = s * scale - age[:, :, None] * m
 
     # current position (age 0, bias 0)
-    Pc = kc.astype(f32) * q.astype(f32)                    # (Bb, D)
+    Pc = kc * q                                            # (Bb, D)
     s_cur = jax.lax.dot_general(
-        Pc, G, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32) * scale                # (Bb, H)
+        Pc, M, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32) * scale                # (Bb, D)
 
-    # fp32 softmax over T cached rows + current position
-    mx = jnp.maximum(jnp.max(s, axis=1), s_cur)            # (Bb, H)
-    w = jnp.exp(s - mx[:, None, :])                        # (Bb, T, H)
-    w_cur = jnp.exp(s_cur - mx)                            # (Bb, H)
-    denom = jnp.sum(w, axis=1) + w_cur                     # (Bb, H)
+    # fp32 softmax over T cached rows + current position (per lane;
+    # every lane of a head carries the same values)
+    mx = jnp.maximum(jnp.max(s, axis=1), s_cur)            # (Bb, D)
+    w = jnp.exp(s - mx[:, None, :])                        # (Bb, T, D)
+    w_cur = jnp.exp(s_cur - mx)                            # (Bb, D)
+    denom = jnp.sum(w, axis=1) + w_cur                     # (Bb, D)
 
-    # back to D lanes: wfull[b,t,d] = w[b,t,head(d)] — in the cache
-    # dtype, matching the einsum path's w.astype(dtype) cast
-    wfull = jax.lax.dot_general(
-        w.astype(v.dtype).reshape(Bb * T, H), G.astype(v.dtype).T,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32).astype(v.dtype).reshape(Bb, T, D)
-    out = jnp.sum(wfull * v, axis=1, dtype=f32)            # (Bb, D)
-    out = out + jax.lax.dot_general(
-        w_cur, G.T, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32) * vc.astype(f32)
-    dfull = jax.lax.dot_general(
-        denom, G.T, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32)                        # (Bb, D)
-    return (out / dfull).astype(out_dtype)
+    if row_scale is not None:
+        w = w * row_scale[:, :, None]      # fold dequant into the weights
+    out = jnp.sum((w.astype(v.dtype) * v).astype(f32), axis=1)
+    out = out + w_cur * vc.astype(f32)                     # (Bb, D)
+    return (out / denom).astype(out_dtype)
 
 
 def _kernel(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
             *, H: int, scale: float):
-    """One k/v slot pair: kv block (Bb, T, 2D) = [k | v] columns."""
+    """One k/v slot pair: kv block (Bb, 1, T, 2D) = [k | v] columns of
+    one phase of the phase-major cache."""
     D = kv_ref.shape[-1] // 2
+    kv = kv_ref[:, 0]
     o_ref[:] = _attend_math(
-        q_ref[:], kv_ref[:, :, :D], kv_ref[:, :, D:], kc_ref[:], vc_ref[:],
+        q_ref[:], kv[:, :, :D], kv[:, :, D:], kc_ref[:], vc_ref[:],
         age_ref[:], H=H, scale=scale, out_dtype=o_ref.dtype)
+
+
+def _kernel_pair_q(q_ref, kc_ref, vc_ref, age_ref, sc_ref, kv_ref,
+                   o_ref, *, H: int, scale: float):
+    """`_kernel_pair` with an int8 kv block + (Bb, T) dequant scales."""
+    D = kv_ref.shape[-1] // 4
+    kv = kv_ref[:, 0]
+    rs = sc_ref[:]
+    for s in range(2):
+        o_ref[:, s * D:(s + 1) * D] = _attend_math(
+            q_ref[:, s * D:(s + 1) * D],
+            kv[:, :, 2 * s * D:(2 * s + 1) * D],
+            kv[:, :, (2 * s + 1) * D:(2 * s + 2) * D],
+            kc_ref[:, s * D:(s + 1) * D], vc_ref[:, s * D:(s + 1) * D],
+            age_ref[:], H=H, scale=scale, out_dtype=o_ref.dtype,
+            row_scale=rs)
 
 
 def _kernel_pair(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
                  *, H: int, scale: float):
-    """TWO adjacent k/v slot pairs in one invocation: kv block
-    (Bb, T, 4D) = [k0 | v0 | k1 | v1] columns, q/kc/vc/o (Bb, 2D) with
-    set s in columns [s*D:(s+1)*D].  The twin sets are unrolled in one
-    body so the whole phase is a single kernel launch over ONE
-    contiguous cache read."""
+    """One PHASE (two twin k/v pairs) in one invocation: kv block
+    (Bb, 1, T, 4D) = the phase's [k0 | v0 | k1 | v1] columns, fully
+    contiguous in HBM; q/kc/vc/o (Bb, 2D) with set s in columns
+    [s*D:(s+1)*D].  The twin sets are unrolled in one body so the whole
+    phase is a single kernel launch over ONE sequential cache read."""
     D = kv_ref.shape[-1] // 4
+    kv = kv_ref[:, 0]
     for s in range(2):
         o_ref[:, s * D:(s + 1) * D] = _attend_math(
             q_ref[:, s * D:(s + 1) * D],
-            kv_ref[:, :, 2 * s * D:(2 * s + 1) * D],
-            kv_ref[:, :, (2 * s + 1) * D:(2 * s + 2) * D],
+            kv[:, :, 2 * s * D:(2 * s + 1) * D],
+            kv[:, :, (2 * s + 1) * D:(2 * s + 2) * D],
             kc_ref[:, s * D:(s + 1) * D], vc_ref[:, s * D:(s + 1) * D],
             age_ref[:], H=H, scale=scale, out_dtype=o_ref.dtype)
 
@@ -135,11 +175,13 @@ def fused_attend(cache: jax.Array, q: jax.Array, k_cur: jax.Array,
                  interpret: bool = False) -> jax.Array:
     """Single-query attention over one k/v slot pair of the fused cache.
 
-    cache: (B, T, n_slots*D); q, k_cur, v_cur: (B, D);
-    age: (B, T) float32 — query-key distance in the stream's own frame
-    timeline, >= DEAD/2 for invalid rows.  Returns (B, D).
+    cache: (B, P, T, 4*D) phase-major (see incremental.cache_layout):
+    global slot s lives in phase s // 4, column (s % 4) * D.
+    q, k_cur, v_cur: (B, D); age: (B, T) float32 — query-key distance in
+    the stream's own frame timeline, >= DEAD/2 for invalid rows.
+    Returns (B, D).
     """
-    B, T, nD = cache.shape
+    B, P, T, D4 = cache.shape
     D = q.shape[-1]
     H = num_heads
     assert H & (H - 1) == 0, "in-kernel AliBi slopes need power-of-2 heads"
@@ -152,6 +194,7 @@ def fused_attend(cache: jax.Array, q: jax.Array, k_cur: jax.Array,
 
     assert slot_v == slot_k + 1, "cache_layout stores k/v adjacently"
     assert slot_k % 2 == 0
+    phase, half = slot_k // 4, (slot_k % 4) // 2
     kern = functools.partial(_kernel, H=H, scale=scale)
     return pl.pallas_call(
         kern,
@@ -165,8 +208,8 @@ def fused_attend(cache: jax.Array, q: jax.Array, k_cur: jax.Array,
                          memory_space=pltpu.VMEM),          # v_cur
             pl.BlockSpec((Bb, T), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),          # age
-            pl.BlockSpec((Bb, T, 2 * D),
-                         lambda i: (i, 0, slot_k // 2),
+            pl.BlockSpec((Bb, 1, T, 2 * D),
+                         lambda i: (i, phase, 0, half),
                          memory_space=pltpu.VMEM),          # k+v pair
         ],
         out_specs=pl.BlockSpec((Bb, D), lambda i: (i, 0),
@@ -179,60 +222,75 @@ def fused_attend(cache: jax.Array, q: jax.Array, k_cur: jax.Array,
 @functools.partial(jax.jit, static_argnames=("pair_base", "num_heads",
                                              "block", "interpret"))
 def fused_attend_pair(cache: jax.Array, q2: jax.Array, k_cur2: jax.Array,
-                      v_cur2: jax.Array, age: jax.Array, *, pair_base: int,
+                      v_cur2: jax.Array, age: jax.Array,
+                      scale: jax.Array | None = None, *, pair_base: int,
                       num_heads: int = 4, block: int = 32,
                       interpret: bool = False) -> jax.Array:
     """TWO single-query attentions (the independent channel/tower twins of
     one layer phase) in ONE pallas_call over ONE contiguous cache block.
 
-    cache_layout stores each phase's twin pairs adjacently, so the twin
-    attends read the single (Bb, T, 4D) block at pair index `pair_base`
-    — one kernel launch per phase (vs 2 for per-pair `fused_attend`)
-    and 2x the HBM burst length (2048 B vs 1024 B per cache row), the
-    two effects that dominate the dispatch-bound serving step
-    (PERF.md r3).
+    The phase-major cache stores each phase's twin pairs as ONE fully
+    contiguous (T, 4D) plane per stream, so the twin attends read a
+    single sequential block — one kernel launch per phase (vs 2
+    per-pair calls) and long-burst HBM reads (the fused flat layout's
+    2 KB-burst strided reads ran at ~20% of HBM bandwidth and dominated
+    the whole serving step; PERF.md r3).
 
-    cache: (B, T, n_slots*D); q2/k_cur2/v_cur2: (B, 2, D) with set s at
+    cache: (B, P, T, 4*D); q2/k_cur2/v_cur2: (B, 2, D) with set s at
     [:, s]; age: (B, T) f32 shared by both sets.  Set s reads the cache
-    k/v pair `pair_base + s` (pair p = slots 2p, 2p+1).
-    Returns (B, 2, D).
+    k/v pair `pair_base + s` (pair p = slots 2p, 2p+1); the twin pairs
+    of a phase are pairs 2*phase and 2*phase + 1.  Returns (B, 2, D).
+
+    scale: (B, T) f32 per-row dequant scales of THIS phase when the
+    cache is int8-quantized (KVState.scale[:, phase]); None otherwise.
     """
-    B, T, nD = cache.shape
+    B, P, T, D4 = cache.shape
     D = q2.shape[-1]
     H = num_heads
     assert H & (H - 1) == 0, "in-kernel AliBi slopes need power-of-2 heads"
-    assert 2 * (pair_base + 2) * D <= nD
-    # the (Bb, T, 4D) block is indexed at 4D granularity on the last dim
-    assert pair_base % 2 == 0, "twin pairs must start 4D-block-aligned"
-    scale = 1.0 / math.sqrt(D)
+    assert pair_base % 2 == 0, "pair_base must open a phase"
+    phase = pair_base // 2
+    assert phase < P
     Bb = min(block, B)
     if B % Bb:
         Bb = math.gcd(B, Bb)
     interpret = interpret or jax.default_backend() == "cpu"
 
-    kern = functools.partial(_kernel_pair, H=H, scale=scale)
+    sm_scale = scale  # the dequant scales; `scale` inside kernels is AliBi
+    in_specs = [
+        pl.BlockSpec((Bb, 2 * D), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),          # q (both sets)
+        pl.BlockSpec((Bb, 2 * D), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),          # k_cur
+        pl.BlockSpec((Bb, 2 * D), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),          # v_cur
+        pl.BlockSpec((Bb, T), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),          # age
+    ]
+    args = [q2.reshape(B, 2 * D), k_cur2.reshape(B, 2 * D),
+            v_cur2.reshape(B, 2 * D), age]
+    if sm_scale is not None:
+        in_specs.append(pl.BlockSpec((Bb, T), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))  # dequant
+        args.append(sm_scale.astype(jnp.float32))
+        kern = functools.partial(_kernel_pair_q, H=H,
+                                 scale=1.0 / math.sqrt(D))
+    else:
+        kern = functools.partial(_kernel_pair, H=H,
+                                 scale=1.0 / math.sqrt(D))
+    in_specs.append(
+        pl.BlockSpec((Bb, 1, T, 4 * D), lambda i: (i, phase, 0, 0),
+                     memory_space=pltpu.VMEM))          # whole phase
+    args.append(cache)
     out = pl.pallas_call(
         kern,
         grid=(B // Bb,),
-        in_specs=[
-            pl.BlockSpec((Bb, 2 * D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),          # q (both sets)
-            pl.BlockSpec((Bb, 2 * D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),          # k_cur
-            pl.BlockSpec((Bb, 2 * D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),          # v_cur
-            pl.BlockSpec((Bb, T), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),          # age
-            pl.BlockSpec((Bb, T, 4 * D),
-                         lambda i: (i, 0, pair_base // 2),
-                         memory_space=pltpu.VMEM),          # 2 k/v pairs
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((Bb, 2 * D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 2 * D), q2.dtype),
         interpret=interpret,
-    )(q2.reshape(B, 2 * D), k_cur2.reshape(B, 2 * D),
-      v_cur2.reshape(B, 2 * D), age, cache)
+    )(*args)
     return out.reshape(B, 2, D)
 
 
@@ -244,13 +302,16 @@ def _alibi_slopes(n: int):
 
 def attend_reference(cache, q, k_cur, v_cur, age, *, slot_k, slot_v,
                      num_heads=4):
-    """NumPy-style einsum reference (mirrors _kv_core.attend) for tests."""
-    B, T, _ = cache.shape
+    """NumPy-style einsum reference (mirrors _kv_core.attend) for tests.
+
+    cache: (B, P, T, 4*D) phase-major."""
+    B, P, T, _ = cache.shape
     D = q.shape[-1]
     H = num_heads
     Dh = D // H
-    k_old = cache[:, :, slot_k * D:(slot_k + 1) * D]
-    v_old = cache[:, :, slot_v * D:(slot_v + 1) * D]
+    ck, cv = (slot_k % 4) * D, (slot_v % 4) * D
+    k_old = cache[:, slot_k // 4, :, ck:ck + D]
+    v_old = cache[:, slot_v // 4, :, cv:cv + D]
     qh = q.reshape(B, H, Dh)
     kh = k_old.reshape(B, T, H, Dh)
     scale = 1.0 / math.sqrt(D)

@@ -50,6 +50,7 @@ def _reset_slot(state, idx: jax.Array):
     if isinstance(state, incremental.KVState):
         return incremental.KVState(
             cache=state.cache,  # stale rows masked by stamp
+            scale=state.scale,  # ditto (scales only read for live rows)
             lstm_h=state.lstm_h.at[idx].set(0.0),
             lstm_c=state.lstm_c.at[idx].set(0.0),
             count=state.count.at[idx].set(0),
@@ -70,7 +71,7 @@ class StreamArena:
     def __init__(self, cfg: VapConfig, params, capacity: int = 64,
                  path: str = "kv", dtype=jnp.float32, slots: str = "stream",
                  resync_every: Optional[int] = None,
-                 attend_impl: str = "einsum"):
+                 attend_impl: str = "einsum", quant_cache: bool = False):
         self.cfg = cfg
         self.capacity = capacity
         self.path = path
@@ -82,15 +83,16 @@ class StreamArena:
         self.params = jax.device_put(
             jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params))
         if path == "fast":
-            self.state = incremental.init_fast_state(cfg, capacity, dtype)
+            self.state = incremental.init_fast_state(cfg, capacity, dtype,
+                                                     quant_cache)
             step_fn = lambda p, st, ch, c, act: incremental.fast_step(
                 p, st, ch, c, act, slots=slots, attend_impl=attend_impl)
             self._step = jax.jit(step_fn, static_argnums=3)
         elif path == "fast_hybrid":
             n = resync_every if resync_every is not None \
                 else cfg.context_frames
-            self.state = incremental.init_fast_hybrid_state(cfg, capacity,
-                                                            dtype)
+            self.state = incremental.init_fast_hybrid_state(
+                cfg, capacity, dtype, quant_cache)
             step_fn = lambda p, st, ch, c, act: \
                 incremental.fast_hybrid_step(p, st, ch, c, act, n,
                                              attend_impl)
@@ -98,12 +100,14 @@ class StreamArena:
         elif path == "hybrid":
             n = resync_every if resync_every is not None \
                 else cfg.context_frames
-            self.state = incremental.init_hybrid_state(cfg, capacity, dtype)
+            self.state = incremental.init_hybrid_state(cfg, capacity, dtype,
+                                                       quant_cache)
             step_fn = lambda p, st, ch, c, act: incremental.hybrid_step(
                 p, st, ch, c, act, n)
             self._step = jax.jit(step_fn, static_argnums=3)
         elif path == "kv":
-            self.state = incremental.init_kv_state(cfg, capacity, dtype)
+            self.state = incremental.init_kv_state(cfg, capacity, dtype,
+                                                   quant_cache)
             # "stream" slots (default): per-stream ring positions make a
             # stream's context exactly its last T own frames no matter how
             # arena ticks interleave — required for the isolation contract

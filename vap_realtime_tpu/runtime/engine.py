@@ -49,11 +49,15 @@ class VapEngine:
                  checkpoint_npz: Optional[str] = None,
                  path: str = "kv", batch: int = 1,
                  dtype=jnp.float32, resync_every: Optional[int] = None,
-                 attend_impl: str = "einsum"):
+                 attend_impl: str = "einsum", quant_cache: bool = False):
         self.cfg = cfg or VapConfig()
         self.batch = batch
         self.path = path
         self.attend_impl = attend_impl
+        # quant_cache: int8 KV cache with per-row scales — half the HBM
+        # traffic / double the capacity of bf16, ~2e-5 output deviation
+        # (tests/test_incremental.py); applies to kv/fast/hybrid paths
+        self.quant_cache = quant_cache
         self.resync_every = (resync_every if resync_every is not None
                              else self.cfg.context_frames)
 
@@ -80,14 +84,16 @@ class VapEngine:
                                            attend_impl=attend_impl)
 
             self._step = jax.jit(_kstep, static_argnums=3)
-            self.state = incremental.init_kv_state(self.cfg, batch, dtype)
+            self.state = incremental.init_kv_state(self.cfg, batch, dtype,
+                                                   quant_cache)
         elif path == "fast":
             def _fstep(p, st, ch, c, act=None):
                 return incremental.fast_step(p, st, ch, c, act,
                                              attend_impl=attend_impl)
 
             self._step = jax.jit(_fstep, static_argnums=3)
-            self.state = incremental.init_fast_state(self.cfg, batch, dtype)
+            self.state = incremental.init_fast_state(self.cfg, batch, dtype,
+                                                     quant_cache)
         elif path == "full":
             self._step = jax.jit(streaming.stream_step, static_argnums=3)
             self.state = streaming.init_stream_state(self.cfg, batch, dtype)
@@ -99,7 +105,7 @@ class VapEngine:
 
             self._step = jax.jit(_hstep, static_argnums=3)
             self.state = incremental.init_hybrid_state(self.cfg, batch,
-                                                       dtype)
+                                                       dtype, quant_cache)
         elif path == "fast_hybrid":
             n = self.resync_every
 
@@ -108,8 +114,8 @@ class VapEngine:
                                                     attend_impl)
 
             self._step = jax.jit(_fhstep, static_argnums=3)
-            self.state = incremental.init_fast_hybrid_state(self.cfg, batch,
-                                                            dtype)
+            self.state = incremental.init_fast_hybrid_state(
+                self.cfg, batch, dtype, quant_cache)
         else:
             raise ValueError(
                 f"unknown path {path!r} (use 'kv', 'full', 'hybrid', "

@@ -20,10 +20,13 @@ Semantics vs the parity-exact `stream_step`:
 
 TPU-first performance design:
 - ALL per-frame K/V vectors (28 of them: channel-GPT k/v x 2ch, stereo
-  self + cross k/v x 2 towers x 3 layers) live in ONE fused cache of
-  shape (B, T, 28*D).  A frame performs exactly one scatter write of a
-  contiguous (B, 1, 28*D) row at its circular slot — no per-layer
-  cache copies, no O(T) rolls.  Attention reads slice the last dim.
+  self + cross k/v x 2 towers x 3 layers) live in ONE phase-major
+  cache of shape (B, P=7, T, 4*D): each layer phase's twin k/v pairs
+  form a per-stream-contiguous (T, 4D) plane, so each of the 7 attend
+  phases is ONE long sequential HBM read (the flat (B, T, 28D) layout
+  measured ~20% of HBM bandwidth on strided reads — PERF.md r3).  A
+  frame performs exactly one write of the (B, P, 1, 4D) row at its
+  circular slot — no per-layer cache copies, no O(T) rolls.
 - Within a step each attention attends over the T cached rows (ages
   1..T) PLUS the current position's fresh k/v (age 0), so the write can
   be deferred to one scatter at the end of the step.
@@ -57,10 +60,10 @@ def cache_layout(cfg: VapConfig) -> List[str]:
 
     Order invariant: every k/v pair is adjacent, and the TWIN pairs of
     each attend phase (the 2 channels of a channel layer; the 2 towers
-    of a stereo self- or cross-phase) are adjacent as well — so one
-    attend phase reads ONE contiguous (B, T, 4*D) cache block
-    (ops/pallas/attend.py `fused_attend_pair`: longer HBM bursts, one
-    kernel per phase)."""
+    of a stereo self- or cross-phase) form one 4-slot PHASE — slot s
+    maps to cache[:, s // 4, :, (s % 4) * D :].  Each phase is one
+    per-stream-contiguous plane read by one `fused_attend_pair` launch
+    (ops/pallas/attend.py)."""
     names = []
     for li in range(cfg.channel_layers):
         for ch in (0, 1):
@@ -73,12 +76,32 @@ def cache_layout(cfg: VapConfig) -> List[str]:
     return names
 
 
+def quantize_rows(rows: jax.Array):
+    """Symmetric int8 quantization over the last axis.
+
+    rows: (..., 4D) -> (int8 rows, (...,) float32 max-abs/127 scales).
+    One scale per phase-row keeps dequant a single broadcast multiply in
+    the attend kernels.
+    """
+    f = rows.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(f), axis=-1)
+    sc = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(f / sc[..., None]), -127, 127).astype(jnp.int8)
+    return q, sc
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class KVState:
     """Fused-KV streaming state.
 
-    cache:  (B, T, n_slots*D) — all K/V vectors, written once per frame.
+    cache:  (B, P, T, 4*D) phase-major — all K/V vectors, written once
+            per frame.  P = n_slots/4 layer phases; phase p holds the
+            twin k/v pairs 2p and 2p+1 as one (T, 4D) plane that is
+            FULLY CONTIGUOUS per stream, so each attend phase is one
+            long sequential HBM read (the flat (B, T, 28D) layout's
+            strided 2 KB bursts ran at ~20% of HBM bandwidth and
+            dominated the serving step — PERF.md r3).
     lstm_h/lstm_c: (B, 2, D) encoder context-net state.
     count:  (B,) frames seen per stream (each stream's OWN frame index).
     stamp:  (B, T) int32 — per stream, the value of `count` when that
@@ -86,6 +109,13 @@ class KVState:
             ages are `count - stamp`: exact in each stream's own frame
             timeline even when streams tick at different rates in a
             shared arena (a frozen stream's rows do not age).
+    scale:  int8-quantized cache only ((B, P, T) float32 per-phase-row
+            dequant scales; a () placeholder otherwise).  ``quant=True``
+            stores the cache as int8 with per-(stream, phase, row)
+            max-abs/127 scales: HALF the HBM read traffic of bf16 on a
+            bandwidth-bound trunk and 2x the stream capacity, for a
+            ~0.4% relative K/V representation error (deviation pinned
+            in tests/test_incremental.py).
     step:   () GLOBAL frame counter (used only by ``slots="global"``).
             A stream (re)joining a slot resets its `count` and its
             `stamp` row; stale cache rows are masked by the stamp test.
@@ -109,6 +139,7 @@ class KVState:
     """
 
     cache: jax.Array
+    scale: jax.Array
     lstm_h: jax.Array
     lstm_c: jax.Array
     count: jax.Array
@@ -117,11 +148,15 @@ class KVState:
 
 
 def init_kv_state(cfg: VapConfig, batch: int = 1,
-                  dtype=jnp.float32) -> KVState:
+                  dtype=jnp.float32, quant: bool = False) -> KVState:
     D, T = cfg.dim, cfg.context_frames
     n = len(cache_layout(cfg))
+    P = n // 4
     return KVState(
-        cache=jnp.zeros((batch, T, n * D), dtype),
+        cache=jnp.zeros((batch, P, T, 4 * D),
+                        jnp.int8 if quant else dtype),
+        scale=(jnp.zeros((batch, P, T), jnp.float32) if quant
+               else jnp.zeros((), jnp.float32)),
         lstm_h=jnp.zeros((batch, 2, D), dtype),
         lstm_c=jnp.zeros((batch, 2, D), dtype),
         count=jnp.zeros((batch,), jnp.int32),
@@ -151,7 +186,7 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
     """
     B = chunk.shape[0]
     D = cfg.dim
-    dtype = state.cache.dtype
+    dtype = state.lstm_h.dtype
     if active is None:
         active = jnp.ones((B,), bool)
 
@@ -181,7 +216,8 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
     D, T, H = cfg.dim, cfg.context_frames, cfg.num_heads
     Dh = cfg.head_dim
     layout = cache_layout(cfg)
-    dtype = state.cache.dtype
+    dtype = state.lstm_h.dtype
+    quant = state.scale.ndim == 3          # int8 cache + per-row scales
 
     # ages of cached rows relative to the current frame (age 0 = current,
     # written at the END of this step), measured in each stream's OWN
@@ -220,23 +256,34 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
         keep their per-set formulation unchanged.  Returns (B, 2, D).
         """
         if attend_impl == "pallas":
+            scale_p = (state.scale[:, pair_base // 2] if quant else None)
             return fused_attend_pair(state.cache, q2.astype(dtype),
                                      k2.astype(dtype), v2.astype(dtype),
-                                     age_f, pair_base=pair_base,
-                                     num_heads=H)
+                                     age_f, scale=scale_p,
+                                     pair_base=pair_base, num_heads=H)
         outs = []
         for s_i in range(2):
-            p = pair_base + s_i
             outs.append(attend(q2[:, s_i], k2[:, s_i], v2[:, s_i],
-                               2 * p * D, (2 * p + 1) * D))
+                               2 * (pair_base + s_i)))
         return jnp.stack(outs, axis=1)
 
-    def attend(q, k_cur, v_cur, ko, vo):
+    def attend(q, k_cur, v_cur, slot_k):
         """Single-query attention over cached rows + current position.
 
-        q, k_cur, v_cur: (B, D).  Cached K/V are slices of the fused
-        cache at offsets ko/vo (in units of scalars on the last axis).
+        q, k_cur, v_cur: (B, D).  Cached K/V live at global slot
+        slot_k/slot_k+1 = phase slot_k//4, columns (slot_k%4)*D.
         """
+        ph = slot_k // 4
+        ko = (slot_k % 4) * D
+        vo = ko + D
+
+        def load(off):
+            x = state.cache[:, ph, :, off:off + D]         # (B, T, D)
+            if quant:
+                x = (x.astype(jnp.float32)
+                     * state.scale[:, ph, :, None]).astype(dtype)
+            return x
+
         if attend_impl == "grouped":
             # head-free formulation: all tensors stay at the native
             # D=256 lane width; per-head score/weight reductions go
@@ -247,8 +294,8 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
             f32 = jnp.float32
             G = jnp.asarray(np.kron(np.eye(H), np.ones((D // H, 1))),
                             dtype)                       # (D, H)
-            k_old = state.cache[:, :, ko:ko + D]          # (B, T, D)
-            v_old = state.cache[:, :, vo:vo + D]
+            k_old = load(ko)                              # (B, T, D)
+            v_old = load(vo)
             scale = 1.0 / math.sqrt(D)
             qd = q.astype(dtype)
             P = k_old * qd[:, None, :]
@@ -271,8 +318,8 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
             dfull = jnp.einsum("bh,dh->bd", denom, G,
                                preferred_element_type=f32)
             return (out / dfull).astype(dtype)
-        k_old = state.cache[:, :, ko:ko + D]                 # (B, T, D)
-        v_old = state.cache[:, :, vo:vo + D]
+        k_old = load(ko)                                     # (B, T, D)
+        v_old = load(vo)
         # stay in the state dtype (bf16 in serving) — the dots accumulate
         # in fp32 via preferred_element_type; softmax runs in fp32
         qh = q.reshape(B, H, Dh).astype(dtype)
@@ -349,29 +396,57 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
 
     xc = combinator(params["ar"]["combinator"], x1, x2)
 
-    # --- single fused cache write at the circular slot (policy: `slots`).
-    row = jnp.concatenate([new_vecs[n] for n in layout], axis=-1)  # (B, nD)
+    # --- single cache write at the circular slot (policy: `slots`).
+    # rows: (B, P, 4D) — the phase-major row of all fresh K/V vectors
+    P = len(layout) // 4
+    rows = jnp.stack(
+        [jnp.concatenate([new_vecs[n] for n in layout[4 * ph:4 * ph + 4]],
+                         axis=-1) for ph in range(P)], axis=1)
+    if quant:
+        rows, scale_new = quantize_rows(rows)
+    else:
+        rows = rows.astype(dtype)
+        scale_new = None
     if slots == "stream":
         # per-stream ring position; frozen streams' indices are pushed
         # out of bounds and dropped, so a frozen tick touches NOTHING.
         idx = jnp.where(active, state.count % T, T)
         b_ix = jnp.arange(B)
-        cache = state.cache.at[b_ix, idx].set(
-            row.astype(dtype), mode="drop", unique_indices=True)
+        cache = state.cache.at[b_ix, :, idx].set(
+            rows, mode="drop", unique_indices=True)
         stamp = state.stamp.at[b_ix, idx].set(
             state.count, mode="drop", unique_indices=True)
+        cscale = (state.scale.at[b_ix, :, idx].set(
+            scale_new, mode="drop", unique_indices=True)
+            if quant else state.scale)
     elif slots == "global":
-        # one contiguous dynamic_update_slice at the scalar global slot;
-        # frozen streams' row content + stamp are preserved by a blend
-        # (only self-collisions — two own-frames T global ticks apart —
-        # can still drop a live row; see KVState docstring).
-        nD = state.cache.shape[-1]
-        old_row = jax.lax.dynamic_slice(state.cache, (0, g % T, 0),
-                                        (B, 1, nD))
-        new_row = jnp.where(active[:, None, None],
-                            row.astype(dtype)[:, None, :], old_row)
+        # one dynamic_update_slice at the scalar global slot; frozen
+        # streams' row content + stamp are preserved by a blend (only
+        # self-collisions — two own-frames T global ticks apart — can
+        # still drop a live row; see KVState docstring).
+        D4 = state.cache.shape[-1]
+        old_row = jax.lax.dynamic_slice(state.cache, (0, 0, g % T, 0),
+                                        (B, P, 1, D4))
+        new_row = jnp.where(active[:, None, None, None],
+                            rows[:, :, None, :], old_row)
+        # NOTE (r3): this DUS costs 3.25 ms/step at B=4096 — writing a
+        # single T row of the (8,128)-tiled cache read-modify-writes
+        # every touched tile (~8x amplification).  An aliased pallas DMA
+        # write was attempted and is Mosaic-rejected: HBM memref slices
+        # must be tile-aligned on the sublane dim ("Slice shape along
+        # dimension 2 must be aligned to tiling (8), but is 1"), so the
+        # byte-exact row write is not expressible either way (PERF.md).
         cache = jax.lax.dynamic_update_slice(state.cache, new_row,
-                                             (0, g % T, 0))
+                                             (0, 0, g % T, 0))
+        if quant:
+            old_sc = jax.lax.dynamic_slice(state.scale, (0, 0, g % T),
+                                           (B, P, 1))
+            new_sc = jnp.where(active[:, None, None],
+                               scale_new[:, :, None], old_sc)
+            cscale = jax.lax.dynamic_update_slice(state.scale, new_sc,
+                                                  (0, 0, g % T))
+        else:
+            cscale = state.scale
         old_stamp = jax.lax.dynamic_slice(state.stamp, (0, g % T), (B, 1))
         new_stamp = jnp.where(active[:, None], state.count[:, None],
                               old_stamp)
@@ -388,6 +463,7 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
     a_state = active[:, None, None]
     new_state = KVState(
         cache=cache,
+        scale=cscale,
         lstm_h=jnp.where(a_state, h_new.astype(dtype), state.lstm_h),
         lstm_c=jnp.where(a_state, c_new.astype(dtype), state.lstm_c),
         count=state.count + active.astype(jnp.int32),
@@ -415,11 +491,11 @@ class FastState:
 
 
 def init_fast_state(cfg: VapConfig, batch: int = 1,
-                    dtype=jnp.float32) -> FastState:
+                    dtype=jnp.float32, quant: bool = False) -> FastState:
     from vap_realtime_tpu.models.encoder import init_conv_stream_state
 
     return FastState(
-        kv=init_kv_state(cfg, batch, dtype),
+        kv=init_kv_state(cfg, batch, dtype, quant),
         conv=init_conv_stream_state(batch * 2, cfg.encoder_dim, dtype),
     )
 
@@ -442,7 +518,7 @@ def fast_step(params: Params, state: FastState, new: jax.Array,
 
     B = new.shape[0]
     D = cfg.dim
-    dtype = state.kv.cache.dtype
+    dtype = state.kv.lstm_h.dtype
     if active is None:
         active = jnp.ones((B,), bool)
 
@@ -495,10 +571,11 @@ class HybridState:
 
 
 def init_hybrid_state(cfg: VapConfig, batch: int = 1,
-                      dtype=jnp.float32) -> HybridState:
+                      dtype=jnp.float32,
+                      quant: bool = False) -> HybridState:
     D, T = cfg.dim, cfg.context_frames
     return HybridState(
-        kv=init_kv_state(cfg, batch, dtype),
+        kv=init_kv_state(cfg, batch, dtype, quant),
         e_ctx=jnp.zeros((batch, 2, T, D), dtype),
     )
 
@@ -509,10 +586,10 @@ def _trunk_rows(params: Params, e_ctx: jax.Array, count: jax.Array,
     every sublayer's K/V (same values `kv_step` would have cached had no
     frame ever been dropped).
 
-    Returns (probs_last: {name: (B, ...)}, rows: (B, T, n_slots*D) in
-    ring order j=0..T-1 (oldest..newest)).  Mirrors
-    streaming.trunk_full/_masked_layer with K/V capture; reference
-    semantics rvap/vap_main/vap_main.py:272-307.
+    Returns (probs_last: {name: (B, ...)}, rows: (B, P, T, 4*D)
+    phase-major, ring order j=0..T-1 (oldest..newest) on the T axis).
+    Mirrors streaming.trunk_full/_masked_layer with K/V capture;
+    reference semantics rvap/vap_main/vap_main.py:272-307.
     """
     from vap_realtime_tpu.runtime.streaming import _masked_bias
 
@@ -580,8 +657,11 @@ def _trunk_rows(params: Params, e_ctx: jax.Array, count: jax.Array,
     trunk = {"x": xc, "o1": o1, "o2": o2, "x1": x1, "x2": x2}
     outs = heads_forward(params, trunk, cfg)
     probs = probs_from_outputs(outs, cfg)
-    rows = jnp.concatenate([captured[n] for n in cache_layout(cfg)],
-                           axis=-1)                        # (B, T, nD)
+    layout = cache_layout(cfg)
+    rows = jnp.stack(
+        [jnp.concatenate([captured[n]
+                          for n in layout[4 * ph:4 * ph + 4]], axis=-1)
+         for ph in range(len(layout) // 4)], axis=1)   # (B, P, T, 4D)
     return {k: v[:, -1] for k, v in probs.items()}, rows
 
 
@@ -601,7 +681,7 @@ def hybrid_step(params: Params, state: HybridState, chunk: jax.Array,
     """
     B = chunk.shape[0]
     D = cfg.dim
-    dtype = state.kv.cache.dtype
+    dtype = state.kv.lstm_h.dtype
     if active is None:
         active = jnp.ones((B,), bool)
 
@@ -647,12 +727,18 @@ def _hybrid_core(params: Params, kv: KVState, e_ctx_prev: jax.Array,
         # eviction order needs this alignment with future kv writes.
         s = jnp.arange(T)[None, :]
         jj = (s - count2[:, None]) % T                     # row for slot s
-        cache2 = jnp.take_along_axis(rows, jj[..., None], axis=1)
+        cache2 = jnp.take_along_axis(rows, jj[:, None, :, None], axis=2)
         c_at = count2[:, None] - 1 - (T - 1 - jj)          # frame idx (B,T)
         stamp2 = jnp.where(c_at >= 0, c_at, -1)
         a = active[:, None, None]
+        if kv.scale.ndim == 3:                 # int8 cache: requantize
+            cache2, scale2 = quantize_rows(cache2)
+        else:
+            cache2 = cache2.astype(dtype)
+            scale2 = kv.scale
         kv2 = KVState(
-            cache=cache2.astype(dtype),
+            cache=cache2,
+            scale=scale2,
             lstm_h=jnp.where(a, h_new.astype(dtype), kv.lstm_h),
             lstm_c=jnp.where(a, c_new.astype(dtype), kv.lstm_c),
             count=count2,
@@ -692,12 +778,13 @@ class FastHybridState:
 
 
 def init_fast_hybrid_state(cfg: VapConfig, batch: int = 1,
-                           dtype=jnp.float32) -> FastHybridState:
+                           dtype=jnp.float32,
+                           quant: bool = False) -> FastHybridState:
     from vap_realtime_tpu.models.encoder import init_conv_stream_state
 
     D, T = cfg.dim, cfg.context_frames
     return FastHybridState(
-        kv=init_kv_state(cfg, batch, dtype),
+        kv=init_kv_state(cfg, batch, dtype, quant),
         conv=init_conv_stream_state(batch * 2, cfg.encoder_dim, dtype),
         e_ctx=jnp.zeros((batch, 2, T, D), dtype),
     )
@@ -720,7 +807,7 @@ def fast_hybrid_step(params: Params, state: FastHybridState, new: jax.Array,
 
     B = new.shape[0]
     D = cfg.dim
-    dtype = state.kv.cache.dtype
+    dtype = state.kv.lstm_h.dtype
     if active is None:
         active = jnp.ones((B,), bool)
 

@@ -30,8 +30,8 @@ from vap_realtime_tpu.runtime import incremental, streaming
 
 
 def run_offline(params, audio: np.ndarray, cfg: VapConfig,
-                path: str = "full",
-                attend_impl: str = "einsum") -> Dict[str, np.ndarray]:
+                path: str = "full", attend_impl: str = "einsum",
+                quant_cache: bool = False) -> Dict[str, np.ndarray]:
     """audio: (2, N) float32 -> dict of per-frame outputs + timestamps."""
     if path in ("fast", "fast_hybrid"):
         # fast paths consume disjoint fresh-sample chunks; frame k
@@ -42,12 +42,13 @@ def run_offline(params, audio: np.ndarray, cfg: VapConfig,
         frames = np.stack([audio[..., i * shift:(i + 1) * shift]
                            for i in range(F)])[:, None]   # (F, 1, 2, S')
         if path == "fast_hybrid":
-            state = incremental.init_fast_hybrid_state(cfg, 1)
+            state = incremental.init_fast_hybrid_state(cfg, 1,
+                                                       quant=quant_cache)
             run = jax.jit(
                 lambda p, st, fr, c: incremental.run_frames_fast_hybrid(
                     p, st, fr, c, c.context_frames), static_argnums=3)
         else:
-            state = incremental.init_fast_state(cfg, 1)
+            state = incremental.init_fast_state(cfg, 1, quant=quant_cache)
             run = jax.jit(
                 lambda p, st, fr, c: incremental.run_frames_fast(
                     p, st, fr, c, attend_impl=attend_impl), static_argnums=3)
@@ -57,10 +58,10 @@ def run_offline(params, audio: np.ndarray, cfg: VapConfig,
         return outs
     frames = streaming.frame_audio(audio, cfg)[:, None]  # (F, 1, 2, S)
     if path == "kv":
-        state = incremental.init_kv_state(cfg, 1)
+        state = incremental.init_kv_state(cfg, 1, quant=quant_cache)
         run = jax.jit(incremental.run_frames_kv, static_argnums=3)
     elif path == "hybrid":
-        state = incremental.init_hybrid_state(cfg, 1)
+        state = incremental.init_hybrid_state(cfg, 1, quant=quant_cache)
         run = jax.jit(
             lambda p, st, fr, c: incremental.run_frames_hybrid(
                 p, st, fr, c, c.context_frames), static_argnums=3)
@@ -106,6 +107,9 @@ def main(argv: Optional[list] = None) -> None:
                     help="'full' = parity-exact recompute, 'kv' = "
                          "incremental KV cache, 'fast' = streaming conv "
                          "+ KV (throughput path)")
+    ap.add_argument("--quant_cache", action="store_true",
+                    help="int8 KV cache (half HBM traffic, 2x stream "
+                         "capacity, ~2e-5 output deviation)")
     ap.add_argument("--attend_impl",
                     choices=["einsum", "grouped", "pallas"],
                     default="einsum")
@@ -142,6 +146,7 @@ def main(argv: Optional[list] = None) -> None:
     params = jax.device_put(
         jax.tree_util.tree_map(jnp.asarray, params))
     outs = run_offline(params, audio, cfg, args.engine_path,
+                       quant_cache=args.quant_cache,
                        attend_impl=args.attend_impl)
     write_csv(args.filename_output, outs)
     print(f"Generated output file: {args.filename_output} "

@@ -191,6 +191,9 @@ def main(argv=None):
     ap.add_argument("--engine_path",
                     choices=["full", "kv", "hybrid", "fast", "fast_hybrid"],
                     default="kv")
+    ap.add_argument("--quant_cache", action="store_true",
+                    help="int8 KV cache (half HBM traffic, 2x stream "
+                         "capacity, ~2e-5 output deviation)")
     ap.add_argument("--attend_impl",
                     choices=["einsum", "grouped", "pallas"],
                     default="einsum",
@@ -210,7 +213,8 @@ def main(argv=None):
                        cpc_model=args.cpc_model,
                        checkpoint_npz=args.checkpoint_npz,
                        path=args.engine_path,
-                       attend_impl=args.attend_impl)
+                       attend_impl=args.attend_impl,
+                       quant_cache=args.quant_cache)
     engine.warmup()
     server = VapServer(engine, mode=args.mode, port_in=args.port_num_in,
                        port_out=args.port_num_out,

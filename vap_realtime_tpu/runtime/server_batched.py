@@ -182,6 +182,9 @@ def main(argv=None):
     ap.add_argument("--engine_path",
                     choices=["full", "kv", "hybrid", "fast", "fast_hybrid"],
                     default="kv")
+    ap.add_argument("--quant_cache", action="store_true",
+                    help="int8 KV cache (half HBM traffic, 2x stream "
+                         "capacity, ~2e-5 output deviation)")
     ap.add_argument("--attend_impl",
                     choices=["einsum", "grouped", "pallas"],
                     default="einsum")
@@ -205,7 +208,8 @@ def main(argv=None):
     arena = StreamArena(cfg, params, capacity=args.capacity,
                         path=args.engine_path,
                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                        attend_impl=args.attend_impl)
+                        attend_impl=args.attend_impl,
+                        quant_cache=args.quant_cache)
     arena.warmup()
     BatchedVapServer(arena, mode=args.mode, port=args.port).serve_forever()
 
