@@ -85,8 +85,13 @@ def test_stablehlo_export_roundtrip(tmp_path):
     out_direct = fn(params, *args)
     out_reload = reloaded.call(params, *args)
     for a, b in zip(out_direct, out_reload):
+        # direct-jit vs deserialized-exported compile through slightly
+        # different XLA pipelines; reassociation noise on the
+        # single-pass ChannelNorm stats is ~1e-6 on the f32 embeddings
+        # (reference parity is separately pinned at 1e-4 vs torch
+        # goldens in tests/test_parity.py)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-6)
+                                   atol=5e-6)
 
 
 def test_export_web_structural(tmp_path):

@@ -56,11 +56,21 @@ def channel_norm(x: jax.Array, w: jax.Array, b: jax.Array,
     any shape broadcastable against (..., C, T)).
     """
     n = x.shape[-2]
-    mean = jnp.mean(x, axis=-2, keepdims=True)
-    centred = x - mean
-    # unbiased variance: sum of squares / (N - 1)
-    var = jnp.sum(jnp.square(centred), axis=-2, keepdims=True) / max(n - 1, 1)
-    return centred * lax.rsqrt(var + eps) * w + b
+    # single-stats-pass formulation: sum and sum-of-squares come out of
+    # ONE read of x (XLA fuses the two reductions), vs mean-then-
+    # centered-variance's two.  The norm passes over the big early conv
+    # activations are bandwidth-bound (~4 ms/step of the serving
+    # encoder at B=4096, PERF.md r3), so one fewer pass matters.
+    # E[x^2] - E[x]^2 cancellation is benign here: activations are O(1)
+    # and stats accumulate in f32 (golden parity stays at 1e-4).
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=-2, keepdims=True)
+    s2 = jnp.sum(jnp.square(xf), axis=-2, keepdims=True)
+    mean = s1 / n
+    # unbiased variance: (sum(x^2) - n*mean^2) / (N - 1)
+    var = (s2 - n * jnp.square(mean)) / max(n - 1, 1)
+    rstd = lax.rsqrt(var + eps)
+    return ((xf - mean) * rstd).astype(x.dtype) * w + b
 
 
 def conv1d(x: jax.Array, w: jax.Array, b: jax.Array | None,
