@@ -260,11 +260,12 @@ def test_arena_capacity(arena_cfg):
     assert arena.n_active == 2
 
 
-@pytest.mark.parametrize("path", ["kv", "fast"])
+@pytest.mark.parametrize("path", ["kv", "fast", "fast_hybrid"])
 def test_batched_server_two_streams(arena_cfg, path):
     """Two concurrent TCP streams through the multiplexed server receive
-    independent, correct results (kv: overlapped frames; fast:
-    fresh-sample chunk assembly)."""
+    independent, correct results (kv: overlapped frames; fast /
+    fast_hybrid: fresh-sample chunk assembly — fast_hybrid also pins
+    the server's zero-overlap padding for the resync path)."""
     from vap_realtime_tpu.runtime.server_batched import BatchedVapServer
 
     golden = load_golden_stream("stream_vap_20hz.npz")

@@ -48,7 +48,8 @@ class BatchedVapServer:
         self.host = host
         self.port = port
         self.conns: Dict[int, _Conn] = {}
-        self._pad = (0 if getattr(arena, "path", "kv") == "fast"
+        self._pad = (0 if getattr(arena, "path", "kv")
+                     in ("fast", "fast_hybrid")
                      else FRAME_CONTEXT_PADDING)
         self._stop = threading.Event()
         self._lock = threading.Lock()
@@ -182,6 +183,13 @@ def main(argv=None):
     ap.add_argument("--engine_path",
                     choices=["full", "kv", "hybrid", "fast", "fast_hybrid"],
                     default="kv")
+    ap.add_argument("--slots", choices=["stream", "global"],
+                    default="stream",
+                    help="KV write-slot policy: 'stream' = exact "
+                         "interleave invariance under jittery traffic "
+                         "(default); 'global' = cheapest write (+27%% "
+                         "throughput, PERF.md r3) for cohorts that "
+                         "tick together")
     ap.add_argument("--quant_cache", action="store_true",
                     help="int8 KV cache (half HBM traffic, 2x stream "
                          "capacity, ~2e-5 output deviation)")
@@ -209,6 +217,7 @@ def main(argv=None):
                         path=args.engine_path,
                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                         attend_impl=args.attend_impl,
+                        slots=args.slots,
                         quant_cache=args.quant_cache)
     arena.warmup()
     BatchedVapServer(arena, mode=args.mode, port=args.port).serve_forever()

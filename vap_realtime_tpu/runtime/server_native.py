@@ -33,7 +33,8 @@ class NativeVapServer:
         self.mode = mode
         # fast path: native assembler emits disjoint fresh-sample chunks
         # (frame_shift samples, overlap 0) instead of overlapped frames
-        self._pad = (0 if getattr(arena, "path", "kv") == "fast"
+        self._pad = (0 if getattr(arena, "path", "kv")
+                     in ("fast", "fast_hybrid")
                      else FRAME_CONTEXT_PADDING)
         self.ingest = NativeIngest(port, arena.capacity,
                                    arena.chunk_samples, wire_int16,
@@ -106,6 +107,13 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--engine_path",
                     choices=["full", "kv", "hybrid", "fast", "fast_hybrid"],
                     default="kv")
+    ap.add_argument("--slots", choices=["stream", "global"],
+                    default="stream",
+                    help="KV write-slot policy: 'stream' = exact "
+                         "interleave invariance under jittery traffic "
+                         "(default); 'global' = cheapest write (+27%% "
+                         "throughput, PERF.md r3) for cohorts that "
+                         "tick together")
     ap.add_argument("--quant_cache", action="store_true",
                     help="int8 KV cache (half HBM traffic, 2x stream "
                          "capacity, ~2e-5 output deviation)")
@@ -135,6 +143,7 @@ def main(argv: Optional[list] = None):
                         path=args.engine_path,
                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                         attend_impl=args.attend_impl,
+                        slots=args.slots,
                         quant_cache=args.quant_cache)
     arena.warmup()
     server = NativeVapServer(arena, mode=args.mode, port=args.port,
