@@ -1,5 +1,7 @@
 """Static step + StableHLO export: roundtrip equivalence."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -105,7 +107,7 @@ def test_export_web_structural(tmp_path):
     import json
     import sys
 
-    sys.path.insert(0, "tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     import export_web
 
     from vap_realtime_tpu.weights.convert import _flatten, _unflatten
@@ -161,12 +163,11 @@ def test_tflite_export_close_check(tmp_path):
     import sys
 
     pytest.importorskip("tensorflow")
-    sys.path.insert(0, "tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     import export_tf
 
     out = str(tmp_path / "vap_tf")
     # raises (assertion inside --check) on any elementwise mismatch
     export_tf.main(["--synthetic_weights", "--tflite", "--check",
                     "--context_frames", "20", "--out", out])
-    import os
     assert os.path.exists(out + ".tflite")

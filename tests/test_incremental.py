@@ -326,6 +326,47 @@ def test_int8_kv_cache_tracks_bf16():
     assert d_impl < 1e-4, d_impl
 
 
+def test_int8_hybrid_cache_tracks_bf16():
+    """Hybrid path + quantized cache: the resync branch must keep the
+    LSTM/ring state in the compute dtype, NOT the int8 cache dtype
+    (ADVICE r3 high: dtype=kv.cache.dtype truncated tanh-range h/c to 0
+    on every resync frame).  Deviation vs the unquantized hybrid stays
+    small across several resyncs, and resync frames stay parity-close."""
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    params = synthetic_params(frame_hz=20)
+    audio = synthetic_audio(16000 * 3)
+    frames = jnp.asarray(frame_audio(audio, cfg)[:, None])
+    F = frames.shape[0]
+    N = 8
+    assert F > 2 * N  # several resyncs
+
+    import functools
+
+    from vap_realtime_tpu.runtime.incremental import hybrid_step
+
+    step = jax.jit(functools.partial(hybrid_step, cfg=cfg, resync_every=N))
+    st = init_hybrid_state(cfg, 1)
+    st_q = init_hybrid_state(cfg, 1, quant=True)
+    p, p_q = [], []
+    for f in range(F):
+        st, out = step(params, st, frames[f])
+        st_q, out_q = step(params, st_q, frames[f])
+        # the LSTM state depends only on the audio, never on the cache,
+        # so quant and non-quant runs must match EXACTLY every frame —
+        # the bug zeroed h/c (tanh-range -> int8 -> 0) on resync frames
+        np.testing.assert_array_equal(np.asarray(st_q.kv.lstm_h),
+                                      np.asarray(st.kv.lstm_h),
+                                      err_msg=f"lstm_h diverged, frame {f}")
+        np.testing.assert_array_equal(np.asarray(st_q.kv.lstm_c),
+                                      np.asarray(st.kv.lstm_c),
+                                      err_msg=f"lstm_c diverged, frame {f}")
+        p.append(np.asarray(out["p_now"]))
+        p_q.append(np.asarray(out_q["p_now"]))
+    dev = np.abs(np.stack(p_q) - np.stack(p)).max()
+    print(f"\n[int8-hybrid] quant-vs-bf16 max={dev:.2e}")
+    assert dev < 5e-3, dev
+
+
 def test_int8_fast_arena_interleave():
     """Quantized cache composes with the fast path + arena slot
     lifecycle: a jittery stream's outputs equal its solo run."""

@@ -69,6 +69,9 @@ def channel_norm(x: jax.Array, w: jax.Array, b: jax.Array,
     mean = s1 / n
     # unbiased variance: (sum(x^2) - n*mean^2) / (N - 1)
     var = (s2 - n * jnp.square(mean)) / max(n - 1, 1)
+    # cancellation can push the single-pass variance slightly negative on
+    # near-constant channel vectors; clamp so rsqrt(var+eps) can't NaN
+    var = jnp.maximum(var, 0.0)
     rstd = lax.rsqrt(var + eps)
     return ((xf - mean) * rstd).astype(x.dtype) * w + b
 

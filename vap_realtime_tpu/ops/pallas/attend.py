@@ -185,6 +185,10 @@ def fused_attend(cache: jax.Array, q: jax.Array, k_cur: jax.Array,
     D = q.shape[-1]
     H = num_heads
     assert H & (H - 1) == 0, "in-kernel AliBi slopes need power-of-2 heads"
+    # the single-pair API has no dequant path: an int8 cache would be
+    # read as raw codes.  Fail loudly; use fused_attend_pair(scale=...)
+    assert cache.dtype != jnp.int8, \
+        "fused_attend has no int8 dequant path; use fused_attend_pair"
     scale = 1.0 / math.sqrt(D)
     Bb = min(block, B)
     if B % Bb:

@@ -708,7 +708,10 @@ def _hybrid_core(params: Params, kv: KVState, e_ctx_prev: jax.Array,
     whichever encoder produced it.  Returns (kv2, e_ctx, outs).
     """
     T = cfg.context_frames
-    dtype = kv.cache.dtype
+    # LSTM/ring dtype, NOT kv.cache.dtype: with quant_cache the cache is
+    # int8 and casting the recurrent state to it would truncate tanh-range
+    # values to 0 on every resync frame (ADVICE r3, high).
+    dtype = kv.lstm_h.dtype
 
     # append to the embedding ring (frozen streams unchanged)
     rolled = jnp.roll(e_ctx_prev, -1, axis=2).at[:, :, -1, :].set(e)
