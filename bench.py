@@ -106,8 +106,8 @@ def variant(name: str):
     chunk_kind: "frame" (16000//hz + 320) or "shift" (16000//hz).
     """
     from vap_realtime_tpu.runtime.incremental import (
-        fast_step, hybrid_step, init_fast_state, init_hybrid_state,
-        init_kv_state, kv_step,
+        fast_hybrid_step, fast_step, hybrid_step, init_fast_hybrid_state,
+        init_fast_state, init_hybrid_state, init_kv_state, kv_step,
     )
     from vap_realtime_tpu.runtime.streaming import (
         init_stream_state, stream_step,
@@ -115,7 +115,8 @@ def variant(name: str):
 
     parts = name.split("_")
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[parts[-1]]
-    attend = ("pallas" if "pallas" in parts
+    attend = ("pallas3" if "pallas3" in parts
+              else "pallas" if "pallas" in parts
               else "grouped" if "grouped" in parts else "einsum")
     quant = "q8" in parts                  # int8 KV cache + row scales
     path = parts[0]
@@ -148,8 +149,17 @@ def variant(name: str):
     if path == "hybrid":
         def step(p, s, c, cfg):
             return hybrid_step(p, s, c, cfg,
-                               resync_every=cfg.context_frames)
-        return step, init_hybrid_state, "frame", dtype
+                               resync_every=cfg.context_frames,
+                               attend_impl=attend)
+        return step, functools.partial(init_hybrid_state, quant=quant), \
+            "frame", dtype
+    if path == "fasthybrid":
+        def step(p, s, c, cfg):
+            return fast_hybrid_step(p, s, c, cfg,
+                                    resync_every=cfg.context_frames,
+                                    attend_impl=attend)
+        return step, functools.partial(init_fast_hybrid_state,
+                                       quant=quant), "shift", dtype
     raise ValueError(name)
 
 
@@ -205,16 +215,22 @@ def main():
 
     grid_out = os.environ.get("BENCH_GRID")
     if grid_out:
-        # pinned regression matrix: {10,20,50} Hz x {kv,full} x
-        # {vap,bc,nod}, one batch size, bf16 (VERDICT r1 item 9)
-        gB = int(os.environ.get("BENCH_GRID_BATCH", "1024"))
+        # pinned regression matrix over the paths that actually serve:
+        # {10,20,50} Hz x {fast_pallas3, fasthybrid_pallas3} x
+        # {vap,bc,nod} at serving batch (VERDICT r3 item 5; the r1-r3
+        # full/kv-only B=1024 grid rows live in BENCH_GRID_r0{1-3}.json).
+        # Override with BENCH_GRID_PATHS=kv,full for the legacy matrix.
+        gB = int(os.environ.get("BENCH_GRID_BATCH", "4096"))
+        gpaths = os.environ.get(
+            "BENCH_GRID_PATHS", "fast_pallas3,fasthybrid_pallas3"
+        ).split(",")
         grid = {}
         for hz, ctx in [(10, 5.0), (20, 2.5), (50, 1.0)]:
             for mode in ("vap", "bc", "nod"):
                 gcfg = VapConfig(frame_hz=hz, context_len_sec=ctx,
                                  mode=mode)
                 gparams = params_for(hz, mode)
-                for path in ("kv", "full"):
+                for path in gpaths:
                     key = f"{path}_{mode}_{hz}hz"
                     try:
                         dt = run_variant(f"{path}_bf16", gcfg, gparams, gB)

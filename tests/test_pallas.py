@@ -99,7 +99,8 @@ class TestFusedAttend:
 
     def test_pair_matches_einsum_reference(self):
         """fused_attend_pair (the serving kernel: one launch per layer
-        phase over one contiguous cache plane) == per-pair reference."""
+        phase over one contiguous cache plane) == per-pair reference,
+        for BOTH kernel bodies (r3 broadcast and v3 compact-softmax)."""
         import numpy as np
         import jax.numpy as jnp
         from vap_realtime_tpu.ops.pallas.attend import (
@@ -110,18 +111,49 @@ class TestFusedAttend:
         q2 = jnp.stack([q, q * 0.5], axis=1)      # distinct twin queries
         kc2 = jnp.stack([kc, kc * 0.7], axis=1)
         vc2 = jnp.stack([vc, vc * 1.3], axis=1)
-        for pair_base in (0, 2):                   # phases 0 and 1
-            got = fused_attend_pair(cache, q2, kc2, vc2, age,
-                                    pair_base=pair_base, block=8,
-                                    interpret=True)
+        for impl in ("bcast", "compact"):
+            for pair_base in (0, 2):               # phases 0 and 1
+                got = fused_attend_pair(cache, q2, kc2, vc2, age,
+                                        pair_base=pair_base, block=8,
+                                        interpret=True, impl=impl)
+                for s in range(2):
+                    pair = pair_base + s
+                    want = attend_reference(
+                        cache, q2[:, s], kc2[:, s], vc2[:, s], age,
+                        slot_k=2 * pair, slot_v=2 * pair + 1)
+                    np.testing.assert_allclose(
+                        np.asarray(got[:, s]), np.asarray(want),
+                        atol=2e-5, err_msg=f"pair {pair} impl {impl}")
+
+    def test_pair_quantized_matches_reference(self):
+        """Both kernel bodies on an int8 cache + per-row dequant scales
+        == the einsum reference on the dequantized cache."""
+        import numpy as np
+        import jax.numpy as jnp
+        from vap_realtime_tpu.ops.pallas.attend import (
+            attend_reference, fused_attend_pair,
+        )
+        from vap_realtime_tpu.runtime.incremental import quantize_rows
+
+        cache, q, kc, vc, age = self._inputs()
+        B, P, T, D4 = cache.shape
+        qcache, qscale = quantize_rows(cache)      # (B,P,T,4D) int8, (B,P,T)
+        deq = (qcache.astype(jnp.float32)
+               * qscale[:, :, :, None]).astype(cache.dtype)
+        q2 = jnp.stack([q, q * 0.5], axis=1)
+        kc2 = jnp.stack([kc, kc * 0.7], axis=1)
+        vc2 = jnp.stack([vc, vc * 1.3], axis=1)
+        for impl in ("bcast", "compact"):
+            got = fused_attend_pair(qcache, q2, kc2, vc2, age,
+                                    scale=qscale[:, 0], pair_base=0,
+                                    block=8, interpret=True, impl=impl)
             for s in range(2):
-                pair = pair_base + s
-                want = attend_reference(
-                    cache, q2[:, s], kc2[:, s], vc2[:, s], age,
-                    slot_k=2 * pair, slot_v=2 * pair + 1)
-                np.testing.assert_allclose(np.asarray(got[:, s]),
-                                           np.asarray(want), atol=2e-5,
-                                           err_msg=f"pair {pair}")
+                want = attend_reference(deq, q2[:, s], kc2[:, s],
+                                        vc2[:, s], age,
+                                        slot_k=2 * s, slot_v=2 * s + 1)
+                np.testing.assert_allclose(
+                    np.asarray(got[:, s]), np.asarray(want), atol=2e-4,
+                    err_msg=f"impl {impl} set {s}")
 
     def test_all_rows_dead(self):
         """Cold start: only the current position is attendable."""
@@ -156,13 +188,21 @@ class TestFusedAttend:
         step_e = jax.jit(lambda p, s, c: kv_step(p, s, c, cfg))
         step_p = jax.jit(lambda p, s, c: kv_step(p, s, c, cfg,
                                                  attend_impl="pallas"))
-        se = sp = init_kv_state(cfg, 1)
+        step_3 = jax.jit(lambda p, s, c: kv_step(p, s, c, cfg,
+                                                 attend_impl="pallas3"))
+        se = sp = s3 = init_kv_state(cfg, 1)
         for f in frames[:6]:
             se, oe = step_e(params, se, jnp.asarray(f))
             sp, op = step_p(params, sp, jnp.asarray(f))
-            np.testing.assert_allclose(np.asarray(op["p_now"]),
-                                       np.asarray(oe["p_now"]), atol=2e-5)
-            np.testing.assert_allclose(np.asarray(op["vad"]),
-                                       np.asarray(oe["vad"]), atol=2e-4)
+            s3, o3 = step_3(params, s3, jnp.asarray(f))
+            for op_i, tag in ((op, "pallas"), (o3, "pallas3")):
+                np.testing.assert_allclose(
+                    np.asarray(op_i["p_now"]), np.asarray(oe["p_now"]),
+                    atol=2e-5, err_msg=tag)
+                np.testing.assert_allclose(
+                    np.asarray(op_i["vad"]), np.asarray(oe["vad"]),
+                    atol=2e-4, err_msg=tag)
         np.testing.assert_allclose(np.asarray(sp.cache),
+                                   np.asarray(se.cache), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s3.cache),
                                    np.asarray(se.cache), atol=1e-5)

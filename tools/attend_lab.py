@@ -1,0 +1,261 @@
+"""Attend-kernel lab: intra-kernel cost attribution by variant ablation.
+
+The device trace gives per-launch totals for the 7 `fused_attend_pair`
+calls but cannot attribute time WITHIN a kernel.  This lab times a
+7-phase attend chain (the serving step's exact launch pattern: 7
+sequential pallas calls over the 7 cache phases, q evolving between
+iterations so nothing hoists/DCEs) for ablated kernel bodies:
+
+  dma        pure cache-block read + trivial reduce   -> DMA floor
+  mxu        + the two per-set MXU matmuls, no softmax -> DMA+MXU bound
+  bcast      r3 production kernel (broadcast softmax)
+  bcast_nomax   broadcast, clamp instead of max-subtract
+  bcast_bf16exp broadcast, exp in bf16
+  compact    v3 kernel (compact (Bb,T,H) softmax)
+  q8_bcast   broadcast on int8 cache + per-row dequant
+  [block sweep] bcast at Bb in {16, 32, 64}
+
+Diagnostic only: ablated variants are numerically WRONG by design.
+Methodology: long/short difference quotient (ARCHITECTURE.md).
+
+Run (TPU): python tools/attend_lab.py --batch 4096 [--variants ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from vap_realtime_tpu.ops.pallas.attend import (  # noqa: E402
+    _attend_math, _attend_math_compact,
+)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ---- ablated kernel bodies -------------------------------------------------
+
+def _k_dma(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref, *, H, scale):
+    kv = kv_ref[:, 0]                       # (Bb, T, 4D)
+    D2 = o_ref.shape[-1]
+    o_ref[:] = jnp.sum(kv.astype(jnp.float32), axis=1)[:, :D2].astype(
+        o_ref.dtype)
+
+
+def _k_mxu(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref, *, H, scale):
+    """Both sets' two production matmuls (P build + (D,D) head-broadcast
+    score matmul) + the value reduce, NO softmax/bias/exp."""
+    D = kv_ref.shape[-1] // 4
+    kv = kv_ref[:, 0]
+    Bb, T, _ = kv.shape
+    di = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+    dj = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+    M = (di // (D // H) == dj // (D // H)).astype(kv.dtype)
+    for s in range(2):
+        q = q_ref[:, s * D:(s + 1) * D]
+        k = kv[:, :, 2 * s * D:(2 * s + 1) * D]
+        v = kv[:, :, (2 * s + 1) * D:(2 * s + 2) * D]
+        P = k * q[:, None, :]
+        w = jax.lax.dot_general(
+            P.reshape(Bb * T, D), M,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(Bb, T, D)
+        o_ref[:, s * D:(s + 1) * D] = jnp.sum(
+            w * v.astype(jnp.float32), axis=1).astype(o_ref.dtype)
+
+
+def _bcast_body(q, k, v, kc, vc, age, *, H, scale, out_dtype, mode):
+    """_attend_math with the softmax stage ablated per `mode`."""
+    Bb, T, D = k.shape
+    Dh = D // H
+    f32 = jnp.float32
+    di = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+    dj = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+    M = (di // Dh == dj // Dh).astype(k.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
+    m = jnp.exp2(-8.0 * ((lane // Dh).astype(f32) + 1.0) / H)
+    P = k * q[:, None, :]
+    s = jax.lax.dot_general(
+        P.reshape(Bb * T, D), M,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32).reshape(Bb, T, D)
+    s = s * scale - age[:, :, None] * m
+    Pc = kc * q
+    s_cur = jax.lax.dot_general(
+        Pc, M, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32) * scale
+    if mode == "nomax":
+        # no max reduce / broadcast subtract; clamp bounds overflow.
+        # exp(-3.9e6) for dead rows still underflows to exactly 0.
+        w = jnp.exp(jnp.minimum(s, 60.0))
+        w_cur = jnp.exp(jnp.minimum(s_cur, 60.0))
+    elif mode == "bf16exp":
+        mx = jnp.maximum(jnp.max(s, axis=1), s_cur)
+        w = jnp.exp((s - mx[:, None, :]).astype(jnp.bfloat16))
+        w_cur = jnp.exp(s_cur - mx)
+        denom = jnp.sum(w.astype(f32), axis=1) + w_cur
+        out = jnp.sum((w * v.astype(jnp.bfloat16)).astype(f32), axis=1)
+        out = out + w_cur * vc.astype(f32)
+        return (out / denom).astype(out_dtype)
+    else:
+        raise ValueError(mode)
+    denom = jnp.sum(w, axis=1) + w_cur
+    out = jnp.sum((w.astype(v.dtype) * v).astype(f32), axis=1)
+    out = out + w_cur * vc.astype(f32)
+    return (out / denom).astype(out_dtype)
+
+
+def _k_bcast_mode(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
+                  *, H, scale, mode):
+    D = kv_ref.shape[-1] // 4
+    kv = kv_ref[:, 0]
+    for s in range(2):
+        o_ref[:, s * D:(s + 1) * D] = _bcast_body(
+            q_ref[:, s * D:(s + 1) * D],
+            kv[:, :, 2 * s * D:(2 * s + 1) * D],
+            kv[:, :, (2 * s + 1) * D:(2 * s + 2) * D],
+            kc_ref[:, s * D:(s + 1) * D], vc_ref[:, s * D:(s + 1) * D],
+            age_ref[:], H=H, scale=scale, out_dtype=o_ref.dtype,
+            mode=mode)
+
+
+def _k_prod(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref, *, H, scale,
+            compact):
+    D = kv_ref.shape[-1] // 4
+    kv = kv_ref[:, 0]
+    for s in range(2):
+        sl = slice(s * D, (s + 1) * D)
+        k = kv[:, :, 2 * s * D:(2 * s + 1) * D]
+        v = kv[:, :, (2 * s + 1) * D:(2 * s + 2) * D]
+        if compact:
+            o_ref[:, sl] = _attend_math_compact(
+                q_ref[:, sl] * scale, k, v, kc_ref[:, sl], vc_ref[:, sl],
+                age_ref[:], H=H, out_dtype=o_ref.dtype)
+        else:
+            o_ref[:, sl] = _attend_math(
+                q_ref[:, sl], k, v, kc_ref[:, sl], vc_ref[:, sl],
+                age_ref[:], H=H, scale=scale, out_dtype=o_ref.dtype)
+
+
+def launch(kern, cache, q2, kc2, vc2, age, phase, Bb):
+    B, P, T, D4 = cache.shape
+    D2 = D4 // 2
+    return pl.pallas_call(
+        kern,
+        grid=(B // Bb,),
+        in_specs=[
+            pl.BlockSpec((Bb, D2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, D2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, D2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, T), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, 1, T, D4), lambda i, p=phase: (i, p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bb, D2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D2), q2.dtype),
+    )(q2, kc2, vc2, age, cache)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--T", type=int, default=50)
+    ap.add_argument("--variants", default="dma,mxu,bcast,bcast_nomax,"
+                    "bcast_bf16exp,compact,bcast_b16,bcast_b64")
+    ap.add_argument("--f_short", type=int, default=4)
+    ap.add_argument("--f_long", type=int, default=24)
+    args = ap.parse_args()
+
+    B, T, D, H, Pn = args.batch, args.T, 256, 4, 7
+    scale = 1.0 / math.sqrt(D)
+    rng = np.random.RandomState(0)
+    cache = jnp.asarray(rng.randn(B, Pn, T, 4 * D)
+                        .astype(np.float32) * 0.3).astype(jnp.bfloat16)
+    q0 = jnp.asarray(rng.randn(B, 2 * D).astype(np.float32) * 0.3
+                     ).astype(jnp.bfloat16)
+    age_np = rng.randint(1, T, size=(B, T)).astype(np.float32)
+    age = jnp.asarray(age_np)
+    log(f"device: {jax.devices()[0]}  B={B} T={T} 7 phases/iter")
+
+    KERNS = {
+        "dma": (functools.partial(_k_dma, H=H, scale=scale), 32),
+        "mxu": (functools.partial(_k_mxu, H=H, scale=scale), 32),
+        "bcast": (functools.partial(_k_prod, H=H, scale=scale,
+                                    compact=False), 32),
+        "compact": (functools.partial(_k_prod, H=H, scale=scale,
+                                      compact=True), 32),
+        "bcast_nomax": (functools.partial(_k_bcast_mode, H=H, scale=scale,
+                                          mode="nomax"), 32),
+        "bcast_bf16exp": (functools.partial(_k_bcast_mode, H=H,
+                                            scale=scale,
+                                            mode="bf16exp"), 32),
+        "bcast_b16": (functools.partial(_k_prod, H=H, scale=scale,
+                                        compact=False), 16),
+        "bcast_b64": (functools.partial(_k_prod, H=H, scale=scale,
+                                        compact=False), 64),
+    }
+
+    results = {}
+    for name in args.variants.split(","):
+        kern, Bb = KERNS[name]
+
+        def chain(q, kern=kern, Bb=Bb):
+            # 7 sequential phase launches, q fed forward (the serving
+            # step's dependency pattern — launches cannot overlap)
+            for p in range(Pn):
+                o = launch(kern, cache, q, q, q, age, p, Bb)
+                q = (q * 0.999 + 0.001 * o).astype(q.dtype)
+            return q
+
+        def runner(F):
+            @jax.jit
+            def run(q):
+                def body(c, _):
+                    return chain(c), None
+                c, _ = jax.lax.scan(body, q, None, length=F)
+                return jnp.sum(c.astype(jnp.float32))
+            return run
+
+        def t(F, reps=2):
+            run = runner(F)
+            _ = float(run(q0))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _ = float(run(q0))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        try:
+            dt = max((t(args.f_long) - t(args.f_short))
+                     / (args.f_long - args.f_short), 1e-9)
+        except Exception as e:
+            log(f"{name}: FAILED {type(e).__name__}: {e}")
+            continue
+        results[name] = dt
+        log(f"{name:14s} {dt*1e3:7.2f} ms / 7-phase step "
+            f"({dt*1e3/Pn:5.2f} ms/launch)")
+
+    print({k: round(v * 1e3, 2) for k, v in results.items()})
+
+
+if __name__ == "__main__":
+    main()

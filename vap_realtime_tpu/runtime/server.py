@@ -195,7 +195,7 @@ def main(argv=None):
                     help="int8 KV cache (half HBM traffic, 2x stream "
                          "capacity, ~2e-5 output deviation)")
     ap.add_argument("--attend_impl",
-                    choices=["einsum", "grouped", "pallas"],
+                    choices=["einsum", "grouped", "pallas", "pallas3"],
                     default="einsum",
                     help="attention backend for kv/fast paths "
                          "(pallas = fused TPU kernel)")

@@ -194,7 +194,7 @@ def main(argv=None):
                     help="int8 KV cache (half HBM traffic, 2x stream "
                          "capacity, ~2e-5 output deviation)")
     ap.add_argument("--attend_impl",
-                    choices=["einsum", "grouped", "pallas"],
+                    choices=["einsum", "grouped", "pallas", "pallas3"],
                     default="einsum")
     ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args(argv)

@@ -118,7 +118,7 @@ def main(argv: Optional[list] = None):
                     help="int8 KV cache (half HBM traffic, 2x stream "
                          "capacity, ~2e-5 output deviation)")
     ap.add_argument("--attend_impl",
-                    choices=["einsum", "grouped", "pallas"],
+                    choices=["einsum", "grouped", "pallas", "pallas3"],
                     default="einsum")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--wire_int16", action="store_true",
