@@ -135,6 +135,17 @@ def variant(name: str):
                                  attend_impl=attend)
         return step, functools.partial(init_kv_state, quant=quant), \
             "frame", dtype
+    if path == "kvstaged":
+        # staged slot policy: exact "stream" semantics, amortized write
+        step = functools.partial(kv_step, slots="staged",
+                                 attend_impl=attend)
+        return step, functools.partial(init_kv_state, quant=quant,
+                                       staged=True), "frame", dtype
+    if path == "faststaged":
+        step = functools.partial(fast_step, slots="staged",
+                                 attend_impl=attend)
+        return step, functools.partial(init_fast_state, quant=quant,
+                                       staged=True), "shift", dtype
     if path == "fast":
         step = functools.partial(fast_step, slots="global",
                                  attend_impl=attend)

@@ -177,6 +177,29 @@ def test_streaming_conv_equals_seamless_oracle(frame_hz):
                                atol=2e-5)
 
 
+def test_blocked_streaming_conv_matches_standard():
+    """Channels-last blocked-matmul streaming conv == the NCW XLA-conv
+    streaming stack, frame by frame, sharing the same carried state
+    layout (same f32-accumulated sums, MXU-shaped)."""
+    from vap_realtime_tpu.models.encoder import (
+        cpc_conv_stack_streaming, cpc_conv_stack_streaming_blocked,
+        init_conv_stream_state,
+    )
+
+    params = synthetic_params(frame_hz=20)["encoder"]
+    rs = np.random.RandomState(5)
+    st_a = st_b = init_conv_stream_state(2)
+    for _f in range(3):
+        new = jnp.asarray(rs.randn(2, 800).astype(np.float32) * 0.1)
+        za, st_a = cpc_conv_stack_streaming(params, new, st_a)
+        zb, st_b = cpc_conv_stack_streaming_blocked(params, new, st_b)
+        np.testing.assert_allclose(np.asarray(zb), np.asarray(za),
+                                   atol=2e-5)
+        for k in st_a:
+            np.testing.assert_allclose(np.asarray(st_b[k]),
+                                       np.asarray(st_a[k]), atol=1e-5)
+
+
 def test_fast_path_tracks_reference_numerics():
     """fast_step (streaming conv + KV) stays close to the parity path on
     the same audio: different-but-equivalent encoder numerics must not
@@ -324,6 +347,80 @@ def test_int8_kv_cache_tracks_bf16():
           f"pallas-vs-einsum(quant) max={d_impl:.2e}")
     assert d_quant < 5e-3, d_quant     # measured ~2e-5; bound is 100x
     assert d_impl < 1e-4, d_impl
+
+
+@pytest.mark.parametrize("impl", ["einsum", "pallas"])
+def test_staged_slots_match_stream(impl):
+    """slots='staged' == slots='stream' frame by frame: same outputs
+    under jittery per-stream activity (including past the ring wrap and
+    across several merges), and bit-identical ring/stamps right after
+    each merge."""
+    import functools
+
+    from vap_realtime_tpu.runtime.incremental import (
+        STAGE_S, kv_step,
+    )
+
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)   # T=20
+    params = synthetic_params(frame_hz=20)
+    B = 3
+    rs = np.random.RandomState(7)
+    F = 3 * cfg.context_frames + 5                      # wraps + merges
+    assert F > 2 * STAGE_S
+
+    step_s = jax.jit(functools.partial(kv_step, cfg=cfg, slots="stream",
+                                       attend_impl=impl))
+    step_g = jax.jit(functools.partial(kv_step, cfg=cfg, slots="staged",
+                                       attend_impl=impl))
+    st_s = init_kv_state(cfg, B)
+    st_g = init_kv_state(cfg, B, staged=True)
+    for f in range(F):
+        chunk = jnp.asarray(rs.randn(B, 2, cfg.frame_samples)
+                            .astype(np.float32) * 0.1)
+        # jittery activity; stream 0 always on so outputs are comparable
+        act = jnp.asarray([True, f % 2 == 0, f % 3 != 0])
+        st_s, out_s = step_s(params, st_s, chunk, active=act)
+        st_g, out_g = step_g(params, st_g, chunk, active=act)
+        np.testing.assert_allclose(
+            np.asarray(out_g["p_now"][0]), np.asarray(out_s["p_now"][0]),
+            atol=2e-5, err_msg=f"frame {f}")
+        if (f + 1) % STAGE_S == 0:     # just merged: ring states equal
+            np.testing.assert_allclose(np.asarray(st_g.cache),
+                                       np.asarray(st_s.cache), atol=1e-6,
+                                       err_msg=f"cache after merge {f}")
+            np.testing.assert_array_equal(np.asarray(st_g.stamp),
+                                          np.asarray(st_s.stamp))
+            assert (np.asarray(st_g.stage_stamp) == -1).all()
+
+
+def test_staged_slots_quantized():
+    """staged + int8 cache: tracks the unquantized staged run and the
+    int8 'stream' run (same quant points: staged quantizes once at
+    staging, stream at the row write — identical values)."""
+    import functools
+
+    from vap_realtime_tpu.runtime.incremental import kv_step
+
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    params = synthetic_params(frame_hz=20)
+    audio = synthetic_audio(16000 * 2)
+    frames = frame_audio(audio, cfg)[:, None]
+
+    outs = {}
+    for slots, quant in (("stream", True), ("staged", True),
+                         ("staged", False)):
+        step = jax.jit(functools.partial(kv_step, cfg=cfg, slots=slots))
+        st = init_kv_state(cfg, 1, quant=quant, staged=slots == "staged")
+        ps = []
+        for f in range(frames.shape[0]):
+            st, out = step(params, st, jnp.asarray(frames[f]))
+            ps.append(np.asarray(out["p_now"]))
+        outs[(slots, quant)] = np.stack(ps)
+    d_q = np.abs(outs[("staged", True)] - outs[("staged", False)]).max()
+    d_s = np.abs(outs[("staged", True)] - outs[("stream", True)]).max()
+    print(f"\n[staged-q8] vs-bf16 {d_q:.2e} vs-stream-q8 {d_s:.2e}")
+    assert d_q < 5e-3, d_q
+    assert d_s < 2e-5, d_s
 
 
 def test_int8_hybrid_cache_tracks_bf16():

@@ -326,7 +326,9 @@ def main():
                     st2 = KVState(cache=st.cache, scale=st.scale,
                                   lstm_h=st2.lstm_h, lstm_c=st2.lstm_c,
                                   count=st2.count, stamp=st.stamp,
-                                  step=st2.step)
+                                  step=st2.step, stage=st.stage,
+                                  stage_stamp=st.stage_stamp,
+                                  stage_scale=st.stage_scale)
                 e = e * 0.999 + 1e-4 * jnp.sum(
                     out["p_now"]).astype(e.dtype)
                 return (st2, e)

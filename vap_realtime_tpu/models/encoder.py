@@ -213,19 +213,26 @@ def cpc_conv_stack_streaming_blocked(params: Params, new: jax.Array,
         wt = jnp.transpose(c["w"], (2, 1, 0))         # (K, C_in, C_out)
         w0 = wt[:s].reshape(s * Cin, -1)
         w1 = wt[s:].reshape(s * Cin, -1)
-        y = (jnp.einsum("bjc,co->bjo", xb[:, :n_out], w0,
+        # Both matmuls run over the FULL contiguous block tensor and the
+        # one-block shift happens on their narrow (C_out) OUTPUTS —
+        # r3's version shifted the (s*C_in)-wide INPUT slices instead,
+        # which XLA materialized as two near-full copies of the widest
+        # activation (the 16.4 ms negative in PERF.md r3).
+        z0 = jnp.einsum("bjc,co->bjo", xb, w0,
                         preferred_element_type=jnp.float32)
-             + jnp.einsum("bjc,co->bjo", xb[:, 1:], w1,
-                          preferred_element_type=jnp.float32))
-        y = y.astype(x.dtype) + c["b"]
-        # ChannelNorm over the channel axis (= last dim here), unbiased
-        # variance as in ops/basic.channel_norm
+        z1 = jnp.einsum("bjc,co->bjo", xb, w1,
+                        preferred_element_type=jnp.float32)
+        y = z0[:, :n_out] + z1[:, 1:] + c["b"].astype(jnp.float32)
+        # single-stats-pass unbiased ChannelNorm over the channel axis
+        # (= last dim here); see ops/basic.channel_norm
         C = y.shape[-1]
-        mean = jnp.mean(y, axis=-1, keepdims=True)
-        cen = y - mean
-        var = jnp.sum(jnp.square(cen), axis=-1, keepdims=True) / (C - 1)
-        y = cen * jax.lax.rsqrt(var + 1e-5) * n["w"][:, 0] + n["b"][:, 0]
-        x = jax.nn.relu(y)
+        s1 = jnp.sum(y, axis=-1, keepdims=True)
+        s2 = jnp.sum(jnp.square(y), axis=-1, keepdims=True)
+        mean = s1 / C
+        var = jnp.maximum((s2 - C * jnp.square(mean)) / (C - 1), 0.0)
+        y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+        y = y * n["w"][:, 0] + n["b"][:, 0]
+        x = jax.nn.relu(y).astype(xc.dtype)
     return x, new_state                               # (B, L/160, C)
 
 

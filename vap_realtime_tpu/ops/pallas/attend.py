@@ -49,18 +49,48 @@ from jax.experimental.pallas import tpu as pltpu
 DEAD = 1e9  # age marker for invalid cache rows (bias -> -inf)
 
 
-def _attend_math(q, k, v, kc, vc, age, *, H: int, scale: float,
-                 out_dtype, row_scale=None):
+LOG2E = 1.4426950408889634  # scores are kept in log2 units (native exp2)
+
+
+def _attend_math(q, k, v, kc, vc, age, *, H: int, out_dtype,
+                 row_scale=None, staged=None):
     """Single-set fused attend math (shared by both kernel bodies).
 
-    q/kc/vc: (Bb, D); k/v: (Bb, T, D); age: (Bb, T) f32.
+    q/kc/vc: (Bb, D); k/v: (Bb, T, D); age: (Bb, T) f32.  q MUST be
+    PRE-SCALED by 1/sqrt(D) * log2(e) (folded outside the kernel).
 
     Head-group reductions ride one-hot matmuls so every tensor keeps
     the native 256-lane width (no (H, Dh) relayouts).
 
+    v4 softmax (r4 ablation lab, tools/attend_lab.py): the r3 kernel's
+    max-subtracted softmax cost 4.2 ms/step in the T-axis max REDUCE +
+    broadcast subtract alone (bcast 14.05 vs bcast_nomax 9.87 ms, DMA
+    floor 4.45).  Here scores shift by the CURRENT position's score
+    instead of the max:
+
+        w_t   = exp2(min(s_t - s_cur, 86))     w_cur = exp2(0) = 1
+        out   = (sum_t w_t v_t + v_cur) / (sum_t w_t + 1)
+
+    - mathematically identical to softmax (shift invariance); the 86
+      clamp only engages when a cached score beats the current one by
+      2^86 — where the softmax is one-hot to ~1e-26 anyway;
+    - NO reduce before the exp, and the current position's exp/weight
+      passes vanish (w_cur == 1 exactly);
+    - denom >= 1 by construction: strictly no-NaN, unlike max-shift
+      which divides by a sum of underflowable exps;
+    - exp2 is the VPU-native transcendental; the log2(e) factor folds
+      into the q prescale and the AliBi slopes.
+
     row_scale: (Bb, T) f32 dequant scales when k/v are int8-quantized
     (one scale per cached row) — scores and value sums are rescaled per
     row, so dequant never materializes a full bf16 copy of the block.
+
+    staged: optional (k_st, v_st, age_st, st_scale) for the "staged"
+    slot policy — k_st/v_st (S, Bb, D) frame-major staged rows,
+    age_st (S, Bb) f32 DEAD-encoded ages, st_scale (S, Bb) f32 dequant
+    scales or None.  The staged contribution is computed in the stage's
+    native (S, Bb, ·) layout (no transposes) and folded into the same
+    denominator.
     """
     Bb, T, D = k.shape
     Dh = D // H
@@ -78,16 +108,18 @@ def _attend_math(q, k, v, kc, vc, age, *, H: int, scale: float,
     # 128x128 array: the trace showed the 7 attend kernels at 16.2 ms
     # of the 29 ms step.  This form needs 2, both N=256.  A matmul-free
     # per-head VPU variant was also tried: slower, 37 ms/step, from
-    # (Bb, T)-shaped layout changes.  PERF.md r3.)
+    # (Bb, T)-shaped layout changes.  PERF.md r3.  The r4 lab adds:
+    # the matmuls cost only ~1.1 ms/step on top of the 4.45 DMA floor —
+    # compact (Bb, T, H) softmax relocation measured SLOWER, 15.8 ms.)
     di = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
     dj = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
     M = (di // Dh == dj // Dh).astype(k.dtype)
-    # per-lane AliBi slope m[d] = 2^(-8(head(d)+1)/H), closed form for
-    # power-of-2 H (ofirpress/attention_with_linear_biases;
+    # per-lane AliBi slope m[d] = 2^(-8(head(d)+1)/H) * log2(e), closed
+    # form for power-of-2 H (ofirpress/attention_with_linear_biases;
     # modules.py:126-159) — computed in-kernel (pallas kernels cannot
     # capture constant arrays)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
-    m = jnp.exp2(-8.0 * ((lane // Dh).astype(f32) + 1.0) / H)
+    m = jnp.exp2(-8.0 * ((lane // Dh).astype(f32) + 1.0) / H) * LOG2E
 
     # scores over cached rows: P = q*k elementwise, head-summed by M
     P = k * q[:, None, :]                                  # (Bb, T, D)
@@ -95,30 +127,51 @@ def _attend_math(q, k, v, kc, vc, age, *, H: int, scale: float,
         P.reshape(Bb * T, D), M,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32).reshape(Bb, T, D)      # broadcast
-    # dead rows carry age = DEAD (1e9): the -age*m_h bias is <= -3.9e6,
-    # which underflows to exactly 0 after the max-subtracted exp — no
-    # boolean mask needed (Mosaic cannot insert minor dims on i1).
     if row_scale is not None:
         s = s * row_scale[:, :, None]      # per-row int8 dequant
-    s = s * scale - age[:, :, None] * m
 
     # current position (age 0, bias 0)
     Pc = kc * q                                            # (Bb, D)
     s_cur = jax.lax.dot_general(
         Pc, M, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32) * scale                # (Bb, D)
+        preferred_element_type=f32)                        # (Bb, D)
 
-    # fp32 softmax over T cached rows + current position (per lane;
-    # every lane of a head carries the same values)
-    mx = jnp.maximum(jnp.max(s, axis=1), s_cur)            # (Bb, D)
-    w = jnp.exp(s - mx[:, None, :])                        # (Bb, T, D)
-    w_cur = jnp.exp(s_cur - mx)                            # (Bb, D)
-    denom = jnp.sum(w, axis=1) + w_cur                     # (Bb, D)
+    # dead rows carry age = DEAD (1e9): the -age*m_h bias is <= -5.6e6,
+    # so exp2 underflows to exactly 0 — no boolean mask needed (Mosaic
+    # cannot insert minor dims on i1).
+    arg = s - age[:, :, None] * m - s_cur[:, None, :]
+    w = jnp.exp2(jnp.minimum(arg, 86.0))                   # (Bb, T, D)
+    denom = jnp.sum(w, axis=1) + 1.0                       # (Bb, D)
 
     if row_scale is not None:
         w = w * row_scale[:, :, None]      # fold dequant into the weights
     out = jnp.sum((w.astype(v.dtype) * v).astype(f32), axis=1)
-    out = out + w_cur * vc.astype(f32)                     # (Bb, D)
+    out = out + vc.astype(f32)             # current weight == 1 exactly
+
+    if staged is not None:
+        # age_st / st_scale arrive LANE-BROADCAST to (S, Bb, D): Mosaic
+        # requires kernel blocks' last two dims (8, 128)-divisible or
+        # array-equal, which an (S, Bb) block is not — the caller pads
+        # them to full lane width instead (cheap: S*B*D bf16/f32)
+        k_st, v_st, age_st, st_scale = staged
+        if st_scale is not None:
+            k_st = k_st.astype(q.dtype)
+            v_st = v_st.astype(q.dtype)
+        S = k_st.shape[0]
+        P2 = k_st * q[None, :, :]                          # (S, Bb, D)
+        s2 = jax.lax.dot_general(
+            P2.reshape(S * Bb, D), M,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32).reshape(S, Bb, D)
+        if st_scale is not None:
+            s2 = s2 * st_scale
+        arg2 = s2 - age_st.astype(f32) * m - s_cur[None, :, :]
+        w2 = jnp.exp2(jnp.minimum(arg2, 86.0))             # (S, Bb, D)
+        denom = denom + jnp.sum(w2, axis=0)
+        if st_scale is not None:
+            w2 = w2 * st_scale
+        out = out + jnp.sum((w2.astype(v.dtype) * v_st).astype(f32),
+                            axis=0)
     return (out / denom).astype(out_dtype)
 
 
@@ -233,18 +286,18 @@ def _kernel_pair_cq(q_ref, kc_ref, vc_ref, age_ref, sc_ref, kv_ref,
 
 
 def _kernel(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
-            *, H: int, scale: float):
+            *, H: int):
     """One k/v slot pair: kv block (Bb, 1, T, 2D) = [k | v] columns of
-    one phase of the phase-major cache."""
+    one phase of the phase-major cache.  q pre-scaled (see wrapper)."""
     D = kv_ref.shape[-1] // 2
     kv = kv_ref[:, 0]
     o_ref[:] = _attend_math(
         q_ref[:], kv[:, :, :D], kv[:, :, D:], kc_ref[:], vc_ref[:],
-        age_ref[:], H=H, scale=scale, out_dtype=o_ref.dtype)
+        age_ref[:], H=H, out_dtype=o_ref.dtype)
 
 
 def _kernel_pair_q(q_ref, kc_ref, vc_ref, age_ref, sc_ref, kv_ref,
-                   o_ref, *, H: int, scale: float):
+                   o_ref, *, H: int):
     """`_kernel_pair` with an int8 kv block + (Bb, T) dequant scales."""
     D = kv_ref.shape[-1] // 4
     kv = kv_ref[:, 0]
@@ -255,12 +308,11 @@ def _kernel_pair_q(q_ref, kc_ref, vc_ref, age_ref, sc_ref, kv_ref,
             kv[:, :, 2 * s * D:(2 * s + 1) * D],
             kv[:, :, (2 * s + 1) * D:(2 * s + 2) * D],
             kc_ref[:, s * D:(s + 1) * D], vc_ref[:, s * D:(s + 1) * D],
-            age_ref[:], H=H, scale=scale, out_dtype=o_ref.dtype,
-            row_scale=rs)
+            age_ref[:], H=H, out_dtype=o_ref.dtype, row_scale=rs)
 
 
 def _kernel_pair(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
-                 *, H: int, scale: float):
+                 *, H: int):
     """One PHASE (two twin k/v pairs) in one invocation: kv block
     (Bb, 1, T, 4D) = the phase's [k0 | v0 | k1 | v1] columns, fully
     contiguous in HBM; q/kc/vc/o (Bb, 2D) with set s in columns
@@ -274,7 +326,46 @@ def _kernel_pair(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
             kv[:, :, 2 * s * D:(2 * s + 1) * D],
             kv[:, :, (2 * s + 1) * D:(2 * s + 2) * D],
             kc_ref[:, s * D:(s + 1) * D], vc_ref[:, s * D:(s + 1) * D],
-            age_ref[:], H=H, scale=scale, out_dtype=o_ref.dtype)
+            age_ref[:], H=H, out_dtype=o_ref.dtype)
+
+
+def _kernel_pair_st(q_ref, kc_ref, vc_ref, age_ref, sage_ref, stage_ref,
+                    kv_ref, o_ref, *, H: int):
+    """`_kernel_pair` + staged rows: stage block (S, Bb, 4D) = this
+    phase's lane-slice of the frame-major stage, sage (S, Bb) ages."""
+    D = kv_ref.shape[-1] // 4
+    kv = kv_ref[:, 0]
+    stg = stage_ref[:]
+    for s in range(2):
+        o_ref[:, s * D:(s + 1) * D] = _attend_math(
+            q_ref[:, s * D:(s + 1) * D],
+            kv[:, :, 2 * s * D:(2 * s + 1) * D],
+            kv[:, :, (2 * s + 1) * D:(2 * s + 2) * D],
+            kc_ref[:, s * D:(s + 1) * D], vc_ref[:, s * D:(s + 1) * D],
+            age_ref[:], H=H, out_dtype=o_ref.dtype,
+            staged=(stg[:, :, 2 * s * D:(2 * s + 1) * D],
+                    stg[:, :, (2 * s + 1) * D:(2 * s + 2) * D],
+                    sage_ref[:], None))
+
+
+def _kernel_pair_stq(q_ref, kc_ref, vc_ref, age_ref, sc_ref, sage_ref,
+                     ssc_ref, stage_ref, kv_ref, o_ref, *, H: int):
+    """`_kernel_pair_st` with int8 cache + stage and their scales."""
+    D = kv_ref.shape[-1] // 4
+    kv = kv_ref[:, 0]
+    rs = sc_ref[:]
+    stg = stage_ref[:]
+    srs = ssc_ref[:]
+    for s in range(2):
+        o_ref[:, s * D:(s + 1) * D] = _attend_math(
+            q_ref[:, s * D:(s + 1) * D],
+            kv[:, :, 2 * s * D:(2 * s + 1) * D],
+            kv[:, :, (2 * s + 1) * D:(2 * s + 2) * D],
+            kc_ref[:, s * D:(s + 1) * D], vc_ref[:, s * D:(s + 1) * D],
+            age_ref[:], H=H, out_dtype=o_ref.dtype, row_scale=rs,
+            staged=(stg[:, :, 2 * s * D:(2 * s + 1) * D],
+                    stg[:, :, (2 * s + 1) * D:(2 * s + 2) * D],
+                    sage_ref[:], srs))
 
 
 @functools.partial(jax.jit, static_argnames=("slot_k", "slot_v", "num_heads",
@@ -299,7 +390,6 @@ def fused_attend(cache: jax.Array, q: jax.Array, k_cur: jax.Array,
     # read as raw codes.  Fail loudly; use fused_attend_pair(scale=...)
     assert cache.dtype != jnp.int8, \
         "fused_attend has no int8 dequant path; use fused_attend_pair"
-    scale = 1.0 / math.sqrt(D)
     Bb = min(block, B)
     if B % Bb:
         Bb = math.gcd(B, Bb)
@@ -309,7 +399,10 @@ def fused_attend(cache: jax.Array, q: jax.Array, k_cur: jax.Array,
     assert slot_v == slot_k + 1, "cache_layout stores k/v adjacently"
     assert slot_k % 2 == 0
     phase, half = slot_k // 4, (slot_k % 4) // 2
-    kern = functools.partial(_kernel, H=H, scale=scale)
+    # fold the score scale AND the exp->exp2 conversion into q (one
+    # (B, D) elementwise mult XLA fuses upstream)
+    q = q * jnp.asarray(LOG2E / math.sqrt(D), q.dtype)
+    kern = functools.partial(_kernel, H=H)
     return pl.pallas_call(
         kern,
         grid=(B // Bb,),
@@ -337,10 +430,14 @@ def fused_attend(cache: jax.Array, q: jax.Array, k_cur: jax.Array,
                                              "block", "interpret", "impl"))
 def fused_attend_pair(cache: jax.Array, q2: jax.Array, k_cur2: jax.Array,
                       v_cur2: jax.Array, age: jax.Array,
-                      scale: jax.Array | None = None, *, pair_base: int,
-                      num_heads: int = 4, block: int = 32,
+                      scale: jax.Array | None = None,
+                      stage: jax.Array | None = None,
+                      stage_age: jax.Array | None = None,
+                      stage_scale: jax.Array | None = None,
+                      *, pair_base: int,
+                      num_heads: int = 4, block: int = 16,
                       interpret: bool = False,
-                      impl: str = "compact") -> jax.Array:
+                      impl: str = "bcast") -> jax.Array:
     """TWO single-query attentions (the independent channel/tower twins of
     one layer phase) in ONE pallas_call over ONE contiguous cache block.
 
@@ -359,10 +456,16 @@ def fused_attend_pair(cache: jax.Array, q2: jax.Array, k_cur2: jax.Array,
     scale: (B, T) f32 per-row dequant scales of THIS phase when the
     cache is int8-quantized (KVState.scale[:, phase]); None otherwise.
 
-    impl: "compact" (default, v3 — compact (Bb, T, H) softmax, two
-    small one-hot matmuls; see `_attend_math_compact`) or "bcast"
-    (r3 — head-broadcast scores, one (D, D) matmul, softmax at full
-    lane redundancy; kept as the measured fallback).
+    stage / stage_age / stage_scale: "staged" slot policy — the
+    frame-major row stage (S, B, P*4D), its DEAD-encoded ages (S, B)
+    f32, and (int8 cache) its per-row dequant scales for THIS phase
+    (S, B) f32.  Staged rows attend alongside ring rows + current.
+
+    impl: "bcast" (default, v4 — head-broadcast scores via one (D, D)
+    matmul, exp2 softmax shifted by the current-position score; see
+    `_attend_math`) or "compact" (v3 — compact (Bb, T, H) softmax;
+    measured SLOWER, kept as a documented negative result; no staged
+    support).
     """
     B, P, T, D4 = cache.shape
     D = q2.shape[-1]
@@ -377,11 +480,11 @@ def fused_attend_pair(cache: jax.Array, q2: jax.Array, k_cur2: jax.Array,
         Bb = math.gcd(B, Bb)
     interpret = interpret or jax.default_backend() == "cpu"
 
-    if impl == "compact":
-        # fold the 1/sqrt(D) score scale into q outside the kernel (one
-        # (B, 2D) elementwise mult XLA fuses upstream) — one fewer
-        # in-kernel pass over the (Bb, T, ·) score tensor
-        q2 = q2 * jnp.asarray(1.0 / math.sqrt(D), q2.dtype)
+    # fold the 1/sqrt(D) score scale into q outside the kernel (one
+    # (B, 2D) elementwise mult XLA fuses upstream); the v4 broadcast
+    # kernels also fold the exp->exp2 log2(e) factor there
+    q2 = q2 * jnp.asarray((1.0 if impl == "compact" else LOG2E)
+                          / math.sqrt(D), q2.dtype)
 
     sm_scale = scale  # the dequant scales; `scale` inside kernels is AliBi
     in_specs = [
@@ -400,15 +503,38 @@ def fused_attend_pair(cache: jax.Array, q2: jax.Array, k_cur2: jax.Array,
         in_specs.append(pl.BlockSpec((Bb, T), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))  # dequant
         args.append(sm_scale.astype(jnp.float32))
-        kern = (functools.partial(_kernel_pair_cq, H=H)
-                if impl == "compact" else
-                functools.partial(_kernel_pair_q, H=H,
-                                  scale=1.0 / math.sqrt(D)))
+    if stage is not None:
+        assert impl == "bcast", "staged rows: v4 broadcast kernel only"
+        S = stage.shape[0]
+        # (S, Bb) blocks violate Mosaic's (8, 128)-divisible-or-equal
+        # rule on the last two dims, so ages/scales ride at full lane
+        # width: ages lane-broadcast to (S, B, D) in the STATE dtype
+        # (live ages < 64 and the DEAD marker are bf16-exact), scales
+        # per-phase lane-broadcast to (S, B, P*D) f32
+        in_specs.append(pl.BlockSpec((S, Bb, D), lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM))  # ages
+        args.append(jnp.broadcast_to(stage_age.astype(q2.dtype)[:, :, None],
+                                     (S, B, D)))
+        if sm_scale is not None:
+            in_specs.append(
+                pl.BlockSpec((S, Bb, D), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM))  # stage dequant
+            args.append(jnp.broadcast_to(
+                stage_scale.astype(jnp.float32)[:, :, None], (S, B, D)))
+        in_specs.append(
+            pl.BlockSpec((S, Bb, 4 * D), lambda i: (0, i, phase),
+                         memory_space=pltpu.VMEM))      # staged rows
+        args.append(stage)
+        kern = functools.partial(
+            _kernel_pair_stq if sm_scale is not None else _kernel_pair_st,
+            H=H)
+    elif sm_scale is not None:
+        kern = functools.partial(
+            _kernel_pair_cq if impl == "compact" else _kernel_pair_q,
+            H=H)
     else:
-        kern = (functools.partial(_kernel_pair_c, H=H)
-                if impl == "compact" else
-                functools.partial(_kernel_pair, H=H,
-                                  scale=1.0 / math.sqrt(D)))
+        kern = functools.partial(
+            _kernel_pair_c if impl == "compact" else _kernel_pair, H=H)
     in_specs.append(
         pl.BlockSpec((Bb, 1, T, 4 * D), lambda i: (i, phase, 0, 0),
                      memory_space=pltpu.VMEM))          # whole phase

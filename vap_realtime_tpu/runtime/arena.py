@@ -56,6 +56,11 @@ def _reset_slot(state, idx: jax.Array):
             count=state.count.at[idx].set(0),
             stamp=state.stamp.at[idx].set(-1),
             step=state.step,
+            stage=state.stage,  # stale staged rows masked by stage_stamp
+            stage_stamp=(state.stage_stamp.at[:, idx].set(-1)
+                         if state.stage_stamp.ndim == 2
+                         else state.stage_stamp),
+            stage_scale=state.stage_scale,
         )
     return streaming.StreamState(
         lstm_h=state.lstm_h.at[idx].set(0.0),
@@ -82,9 +87,10 @@ class StreamArena:
                               else cfg.frame_samples)
         self.params = jax.device_put(
             jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params))
+        staged = slots == "staged"
         if path == "fast":
             self.state = incremental.init_fast_state(cfg, capacity, dtype,
-                                                     quant_cache)
+                                                     quant_cache, staged)
             step_fn = lambda p, st, ch, c, act: incremental.fast_step(
                 p, st, ch, c, act, slots=slots, attend_impl=attend_impl)
             self._step = jax.jit(step_fn, static_argnums=3)
@@ -107,7 +113,7 @@ class StreamArena:
             self._step = jax.jit(step_fn, static_argnums=3)
         elif path == "kv":
             self.state = incremental.init_kv_state(cfg, capacity, dtype,
-                                                   quant_cache)
+                                                   quant_cache, staged)
             # "stream" slots (default): per-stream ring positions make a
             # stream's context exactly its last T own frames no matter how
             # arena ticks interleave — required for the isolation contract

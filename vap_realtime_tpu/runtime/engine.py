@@ -49,7 +49,8 @@ class VapEngine:
                  checkpoint_npz: Optional[str] = None,
                  path: str = "kv", batch: int = 1,
                  dtype=jnp.float32, resync_every: Optional[int] = None,
-                 attend_impl: str = "einsum", quant_cache: bool = False):
+                 attend_impl: str = "einsum", quant_cache: bool = False,
+                 slots: Optional[str] = None):
         self.cfg = cfg or VapConfig()
         self.batch = batch
         self.path = path
@@ -60,6 +61,14 @@ class VapEngine:
         self.quant_cache = quant_cache
         self.resync_every = (resync_every if resync_every is not None
                              else self.cfg.context_frames)
+        # KV write-slot policy (see incremental.KVState): defaults keep
+        # the per-path r3 behavior ("stream" on kv, "global" on fast);
+        # "staged" has exact "stream" semantics at an amortized write
+        # cost (frame-major stage + one S-row merge scatter per S ticks)
+        if slots is None:
+            slots = "stream" if path == "kv" else "global"
+        self.slots = slots
+        staged = slots == "staged"
 
         if params is None:
             if checkpoint_npz:
@@ -80,20 +89,20 @@ class VapEngine:
 
         if path == "kv":
             def _kstep(p, st, ch, c, act=None):
-                return incremental.kv_step(p, st, ch, c, act,
+                return incremental.kv_step(p, st, ch, c, act, slots=slots,
                                            attend_impl=attend_impl)
 
             self._step = jax.jit(_kstep, static_argnums=3)
             self.state = incremental.init_kv_state(self.cfg, batch, dtype,
-                                                   quant_cache)
+                                                   quant_cache, staged)
         elif path == "fast":
             def _fstep(p, st, ch, c, act=None):
-                return incremental.fast_step(p, st, ch, c, act,
+                return incremental.fast_step(p, st, ch, c, act, slots=slots,
                                              attend_impl=attend_impl)
 
             self._step = jax.jit(_fstep, static_argnums=3)
             self.state = incremental.init_fast_state(self.cfg, batch, dtype,
-                                                     quant_cache)
+                                                     quant_cache, staged)
         elif path == "full":
             self._step = jax.jit(streaming.stream_step, static_argnums=3)
             self.state = streaming.init_stream_state(self.cfg, batch, dtype)

@@ -90,6 +90,9 @@ def quantize_rows(rows: jax.Array):
     return q, sc
 
 
+STAGE_S = 8  # staged-slot policy: frames buffered between ring merges
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class KVState:
@@ -136,6 +139,20 @@ class KVState:
       fraction d of ticks keeps only ~d*T of its own frames (two of its
       frames T global ticks apart collide in slot space) — rows become
       invalid, never wrong.
+    - ``"staged"``: SAME semantics as "stream" (exact interleave
+      invariance — bit-identical row placement and stamps), different
+      write path: each frame's rows land in a small frame-major stage
+      (a tile-complete leading-axis DUS, ~free) and one S-row scatter
+      merges them to the per-stream ring positions every STAGE_S ticks.
+      Attends read ring + stage + current, so outputs are unchanged.
+      Amortizes the per-frame row scatter that made "stream" cost +21%
+      (PERF.md r3); requires a state built with ``staged=True``.
+
+    stage / stage_stamp / stage_scale: "staged" policy only (otherwise
+    () placeholders).  stage: (S, B, P*4D) frame-major staged rows
+    (stage[i] holds global tick g ≡ i mod S); stage_stamp: (S, B) the
+    stream's `count` at staging, -1 = invalid (frozen tick / cleared at
+    merge); stage_scale: (S, B, P) int8 dequant scales.
     """
 
     cache: jax.Array
@@ -145,13 +162,20 @@ class KVState:
     count: jax.Array
     stamp: jax.Array
     step: jax.Array
+    stage: jax.Array
+    stage_stamp: jax.Array
+    stage_scale: jax.Array
 
 
 def init_kv_state(cfg: VapConfig, batch: int = 1,
-                  dtype=jnp.float32, quant: bool = False) -> KVState:
+                  dtype=jnp.float32, quant: bool = False,
+                  staged: bool = False) -> KVState:
+    """staged=True builds the stage buffers the ``slots="staged"``
+    policy needs (a (S, B, P*4D) frame-major row stage; see KVState)."""
     D, T = cfg.dim, cfg.context_frames
     n = len(cache_layout(cfg))
     P = n // 4
+    S = STAGE_S
     return KVState(
         cache=jnp.zeros((batch, P, T, 4 * D),
                         jnp.int8 if quant else dtype),
@@ -162,6 +186,14 @@ def init_kv_state(cfg: VapConfig, batch: int = 1,
         count=jnp.zeros((batch,), jnp.int32),
         stamp=jnp.full((batch, T), -1, jnp.int32),
         step=jnp.zeros((), jnp.int32),
+        stage=(jnp.zeros((S, batch, P * 4 * D),
+                         jnp.int8 if quant else dtype) if staged
+               else jnp.zeros((), dtype)),
+        stage_stamp=(jnp.full((S, batch), -1, jnp.int32) if staged
+                     else jnp.zeros((), jnp.int32)),
+        stage_scale=(jnp.zeros((S, batch, P), jnp.float32)
+                     if staged and quant
+                     else jnp.zeros((), jnp.float32)),
     )
 
 
@@ -242,6 +274,35 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
                           * slopes[None, :, None]),
                          -jnp.inf)
 
+    staged = slots == "staged"
+    if staged:
+        assert state.stage.ndim == 3, \
+            'slots="staged" needs a state built with staged=True'
+        if attend_impl == "pallas3":
+            raise ValueError("staged slots: use attend_impl='pallas' "
+                             "(the compact v3 kernel has no staged path)")
+        # staged rows' ages in the stream's own timeline; a row is live
+        # iff its stamp is valid AND younger than `count` (a slot reset
+        # can leave stale stamps >= the new count) AND in-window
+        S = state.stage.shape[0]
+        age_st = state.count[None, :] - state.stage_stamp      # (S, B)
+        live_st = ((state.stage_stamp >= 0) & (age_st >= 1)
+                   & (age_st <= max_age[None, :]))
+        if cfg.context_limit > 0:
+            live_st = live_st & (age_st < cfg.context_limit)
+        age_st_f = jnp.where(live_st, age_st.astype(jnp.float32),
+                             DEAD)                             # (S, B)
+        # einsum/grouped read staged k/v concatenated after the ring
+        age_f_cat = jnp.concatenate([age_f, age_st_f.T], axis=1)
+        live_cat = jnp.concatenate([live, live_st.T], axis=1)
+        bias_cat = jnp.where(live_cat[:, None, :],
+                             (-jnp.where(live_cat, age_f_cat, 0.0)
+                              [:, None, :] * slopes[None, :, None]),
+                             -jnp.inf)
+    else:
+        age_st_f = None
+        age_f_cat, bias_cat = age_f, bias_old
+
     new_vecs: Dict[str, jax.Array] = {}
 
     def attend_pair(q2, k2, v2, pair_base):
@@ -256,16 +317,22 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
         keep their per-set formulation unchanged.  Returns (B, 2, D).
         """
         if attend_impl in ("pallas", "pallas3"):
-            # "pallas3" = compact-softmax v3 kernel; "pallas" = r3
-            # broadcast kernel (kept as the measured fallback)
+            # "pallas" = v4 broadcast kernel (production); "pallas3" =
+            # compact-softmax v3 (kept as the measured negative result)
             scale_p = (state.scale[:, pair_base // 2] if quant else None)
+            stage_kw = {}
+            if staged:
+                stage_kw = dict(
+                    stage=state.stage, stage_age=age_st_f,
+                    stage_scale=(state.stage_scale[:, :, pair_base // 2]
+                                 if quant else None))
             return fused_attend_pair(state.cache, q2.astype(dtype),
                                      k2.astype(dtype), v2.astype(dtype),
                                      age_f, scale=scale_p,
                                      pair_base=pair_base, num_heads=H,
                                      impl=("compact"
                                            if attend_impl == "pallas3"
-                                           else "bcast"))
+                                           else "bcast"), **stage_kw)
         outs = []
         for s_i in range(2):
             outs.append(attend(q2[:, s_i], k2[:, s_i], v2[:, s_i],
@@ -287,6 +354,16 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
             if quant:
                 x = (x.astype(jnp.float32)
                      * state.scale[:, ph, :, None]).astype(dtype)
+            if staged:
+                # staged rows attend alongside the ring rows (their
+                # placement order is irrelevant: ages come from stamps)
+                y = state.stage[:, :, 4 * D * ph + off:
+                                4 * D * ph + off + D]      # (S, B, D)
+                if quant:
+                    y = (y.astype(jnp.float32)
+                         * state.stage_scale[:, :, ph, None]
+                         ).astype(dtype)
+                x = jnp.concatenate([x, jnp.swapaxes(y, 0, 1)], axis=1)
             return x
 
         if attend_impl == "grouped":
@@ -306,7 +383,7 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
             P = k_old * qd[:, None, :]
             s = jnp.einsum("btd,dh->bth", P, G,
                            preferred_element_type=f32) * scale
-            s = s - age_f[:, :, None] * slopes[None, None, :]
+            s = s - age_f_cat[:, :, None] * slopes[None, None, :]
             Pc = (k_cur.astype(dtype) * qd)
             s_cur = jnp.einsum("bd,dh->bh", Pc, G,
                                preferred_element_type=f32) * scale
@@ -323,25 +400,26 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
             dfull = jnp.einsum("bh,dh->bd", denom, G,
                                preferred_element_type=f32)
             return (out / dfull).astype(dtype)
-        k_old = load(ko)                                     # (B, T, D)
+        k_old = load(ko)                                     # (B, L, D)
         v_old = load(vo)
+        L = k_old.shape[1]                   # T, or T+S with staging
         # stay in the state dtype (bf16 in serving) — the dots accumulate
         # in fp32 via preferred_element_type; softmax runs in fp32
         qh = q.reshape(B, H, Dh).astype(dtype)
-        kh = k_old.reshape(B, T, H, Dh)
+        kh = k_old.reshape(B, L, H, Dh)
         scale = 1.0 / math.sqrt(D)
         s_old = jnp.einsum("bhd,bthd->bht", qh, kh,
                            preferred_element_type=jnp.float32)
-        s_old = s_old * scale + bias_old
+        s_old = s_old * scale + bias_cat
         s_cur = (jnp.sum((qh * k_cur.reshape(B, H, Dh)
                           ).astype(jnp.float32), axis=-1,
                          keepdims=True) * scale)             # (B, H, 1)
-        s_all = jnp.concatenate([s_old, s_cur], axis=-1)     # (B, H, T+1)
+        s_all = jnp.concatenate([s_old, s_cur], axis=-1)     # (B, H, L+1)
         w = jax.nn.softmax(s_all, axis=-1)
-        vh = v_old.reshape(B, T, H, Dh)
-        out = (jnp.einsum("bht,bthd->bhd", w.astype(dtype)[:, :, :T], vh,
+        vh = v_old.reshape(B, L, H, Dh)
+        out = (jnp.einsum("bht,bthd->bhd", w.astype(dtype)[:, :, :L], vh,
                           preferred_element_type=jnp.float32)
-               + w[:, :, T:] * v_cur.reshape(B, H, Dh)
+               + w[:, :, L:] * v_cur.reshape(B, H, Dh)
                .astype(jnp.float32))
         return out.reshape(B, D).astype(dtype)
 
@@ -412,7 +490,51 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
     else:
         rows = rows.astype(dtype)
         scale_new = None
-    if slots == "stream":
+    stage2, stage_stamp2, stage_scale2 = (state.stage, state.stage_stamp,
+                                          state.stage_scale)
+    if staged:
+        # --- stage write: one tile-complete leading-axis DUS (the
+        # per-row scatter cost 10+ ms/step at B=4096: every 1-row write
+        # read-modify-writes a full (16, 128) tile — PERF.md r4) ---
+        S = state.stage.shape[0]
+        si = g % S
+        stage2 = jax.lax.dynamic_update_slice(
+            state.stage, rows.reshape(1, B, P * rows.shape[-1]), (si, 0, 0))
+        stage_stamp2 = jax.lax.dynamic_update_slice(
+            state.stage_stamp,
+            jnp.where(active, state.count, -1)[None, :], (si, 0))
+        if quant:
+            stage_scale2 = jax.lax.dynamic_update_slice(
+                state.stage_scale, scale_new[None], (si, 0, 0))
+
+        def merge(_):
+            # one S-row per-stream scatter every S ticks: each staged
+            # row goes to its stream's own ring position stamp % T
+            # (bit-identical placement to the "stream" policy)
+            b_ix = jnp.arange(B)
+            valid = stage_stamp2 >= 0                         # (S, B)
+            # invalid rows get DISTINCT out-of-bounds targets (T + i):
+            # duplicate indices would void unique_indices even in drop
+            # mode
+            oob = T + jnp.arange(S)[:, None]
+            idx = jnp.where(valid, stage_stamp2 % T, oob).T   # (B, S)
+            D4 = state.cache.shape[-1]
+            vals = jnp.swapaxes(stage2.reshape(S, B, P, D4), 0, 1)
+            c2 = state.cache.at[b_ix[:, None], :, idx].set(
+                vals, mode="drop", unique_indices=True)
+            st2 = state.stamp.at[b_ix[:, None], idx].set(
+                stage_stamp2.T, mode="drop", unique_indices=True)
+            sc2 = (state.scale.at[b_ix[:, None], :, idx].set(
+                jnp.swapaxes(stage_scale2, 0, 1), mode="drop",
+                unique_indices=True) if quant else state.scale)
+            return c2, st2, sc2, jnp.full_like(stage_stamp2, -1)
+
+        def no_merge(_):
+            return (state.cache, state.stamp, state.scale, stage_stamp2)
+
+        cache, stamp, cscale, stage_stamp2 = jax.lax.cond(
+            (g + 1) % STAGE_S == 0, merge, no_merge, None)
+    elif slots == "stream":
         # per-stream ring position; frozen streams' indices are pushed
         # out of bounds and dropped, so a frozen tick touches NOTHING.
         idx = jnp.where(active, state.count % T, T)
@@ -474,6 +596,9 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
         count=state.count + active.astype(jnp.int32),
         stamp=stamp,
         step=g + 1,
+        stage=stage2,
+        stage_stamp=stage_stamp2,
+        stage_scale=stage_scale2,
     )
     return new_state, {k: v[:, -1] for k, v in probs.items()}
 
@@ -496,11 +621,12 @@ class FastState:
 
 
 def init_fast_state(cfg: VapConfig, batch: int = 1,
-                    dtype=jnp.float32, quant: bool = False) -> FastState:
+                    dtype=jnp.float32, quant: bool = False,
+                    staged: bool = False) -> FastState:
     from vap_realtime_tpu.models.encoder import init_conv_stream_state
 
     return FastState(
-        kv=init_kv_state(cfg, batch, dtype, quant),
+        kv=init_kv_state(cfg, batch, dtype, quant, staged),
         conv=init_conv_stream_state(batch * 2, cfg.encoder_dim, dtype),
     )
 
@@ -752,6 +878,9 @@ def _hybrid_core(params: Params, kv: KVState, e_ctx_prev: jax.Array,
             count=count2,
             stamp=stamp2,
             step=kv.step + 1,
+            stage=kv.stage,                 # hybrid paths never stage
+            stage_stamp=kv.stage_stamp,
+            stage_scale=kv.stage_scale,
         )
         return kv2, probs
 

@@ -107,7 +107,7 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--engine_path",
                     choices=["full", "kv", "hybrid", "fast", "fast_hybrid"],
                     default="kv")
-    ap.add_argument("--slots", choices=["stream", "global"],
+    ap.add_argument("--slots", choices=["stream", "global", "staged"],
                     default="stream",
                     help="KV write-slot policy: 'stream' = exact "
                          "interleave invariance under jittery traffic "
