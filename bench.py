@@ -128,15 +128,15 @@ def variant(name: str):
         return step, functools.partial(init_kv_state, quant=quant), \
             "frame", dtype
     if path == "kvstream":
-        # VapEngine's default serving config: slots="stream" does a
-        # per-stream row scatter instead of the scalar-slot update —
-        # measured so the engine default is a known tradeoff (ADVICE r2)
+        # per-frame per-stream row scatter (pre-r4 default; "staged"
+        # has the same exactness contract at global-slot cost)
         step = functools.partial(kv_step, slots="stream",
                                  attend_impl=attend)
         return step, functools.partial(init_kv_state, quant=quant), \
             "frame", dtype
     if path == "kvstaged":
-        # staged slot policy: exact "stream" semantics, amortized write
+        # staged slot policy (arena/engine DEFAULT): exact "stream"
+        # semantics, write amortized via the frame-major stage
         step = functools.partial(kv_step, slots="staged",
                                  attend_impl=attend)
         return step, functools.partial(init_kv_state, quant=quant,
@@ -151,8 +151,14 @@ def variant(name: str):
                                  attend_impl=attend)
         return step, functools.partial(init_fast_state, quant=quant), \
             "shift", dtype
+    if path == "fastblk":
+        # fast path with the channels-last stride-block matmul conv
+        step = functools.partial(fast_step, slots="global",
+                                 attend_impl=attend, conv_impl="blocked")
+        return step, functools.partial(init_fast_state, quant=quant), \
+            "shift", dtype
     if path == "faststream":
-        # the StreamArena default (slots="stream") on the fast path
+        # the pre-r4 per-frame scatter policy (superseded by "staged")
         step = functools.partial(fast_step, slots="stream",
                                  attend_impl=attend)
         return step, functools.partial(init_fast_state, quant=quant), \
@@ -206,7 +212,9 @@ def main():
                os.environ.get("BENCH_BATCHES", "4096").split(",")]
     # default: only the winning path (remote compiles are slow; the full
     # matrix is one env var away: BENCH_VARIANTS=...)
-    keep = os.environ.get("BENCH_VARIANTS", "fast_pallas_bf16").split(",")
+    keep = os.environ.get("BENCH_VARIANTS",
+                      "faststaged_pallas_bf16,fast_pallas_bf16"
+                      ).split(",")
 
     best = 0.0
     best_desc = ""
@@ -227,13 +235,13 @@ def main():
     grid_out = os.environ.get("BENCH_GRID")
     if grid_out:
         # pinned regression matrix over the paths that actually serve:
-        # {10,20,50} Hz x {fast_pallas3, fasthybrid_pallas3} x
+        # {10,20,50} Hz x {faststaged_pallas, fasthybrid_pallas} x
         # {vap,bc,nod} at serving batch (VERDICT r3 item 5; the r1-r3
         # full/kv-only B=1024 grid rows live in BENCH_GRID_r0{1-3}.json).
         # Override with BENCH_GRID_PATHS=kv,full for the legacy matrix.
         gB = int(os.environ.get("BENCH_GRID_BATCH", "4096"))
         gpaths = os.environ.get(
-            "BENCH_GRID_PATHS", "fast_pallas3,fasthybrid_pallas3"
+            "BENCH_GRID_PATHS", "faststaged_pallas,fasthybrid_pallas"
         ).split(",")
         grid = {}
         for hz, ctx in [(10, 5.0), (20, 2.5), (50, 1.0)]:

@@ -238,7 +238,8 @@ def cpc_conv_stack_streaming_blocked(params: Params, new: jax.Array,
 
 def encode_chunk_streaming(params: Params, new: jax.Array, conv_state: Params,
                            h0: jax.Array, c0: jax.Array,
-                           downsample_kernel: int):
+                           downsample_kernel: int,
+                           conv_impl: str = "conv"):
     """Fast-path chunk encoder: ONLY the frame's fresh samples.
 
     new: (B, 16000//frame_hz); h0, c0: (B, C) LSTM state.
@@ -249,8 +250,14 @@ def encode_chunk_streaming(params: Params, new: jax.Array, conv_state: Params,
     ~72% of the chunked conv FLOPs and its embedding summarizes audio
     ending at the frame boundary (the chunked path's embedding ends 320
     samples later; one-off alignment, documented fast-path semantics).
+
+    conv_impl: "conv" (XLA NCW convs) or "blocked" (channels-last
+    stride-block matmuls — same math/state, MXU-shaped; see
+    `cpc_conv_stack_streaming_blocked`).
     """
-    z, conv_state = cpc_conv_stack_streaming(params, new, conv_state)
+    stack = (cpc_conv_stack_streaming_blocked if conv_impl == "blocked"
+             else cpc_conv_stack_streaming)
+    z, conv_state = stack(params, new, conv_state)
     y, h_new, c_new = cpc_context(params, z, h0, c0)
     e = downsample(params, y, downsample_kernel)
     return e[:, 0, :], conv_state, h_new, c_new

@@ -74,7 +74,7 @@ class StreamArena:
     """Fixed-capacity batched streaming engine with slot lifecycle."""
 
     def __init__(self, cfg: VapConfig, params, capacity: int = 64,
-                 path: str = "kv", dtype=jnp.float32, slots: str = "stream",
+                 path: str = "kv", dtype=jnp.float32, slots: str = "staged",
                  resync_every: Optional[int] = None,
                  attend_impl: str = "einsum", quant_cache: bool = False):
         self.cfg = cfg

@@ -66,7 +66,9 @@ class VapEngine:
         # "staged" has exact "stream" semantics at an amortized write
         # cost (frame-major stage + one S-row merge scatter per S ticks)
         if slots is None:
-            slots = "stream" if path == "kv" else "global"
+            # "staged" = exact per-stream isolation (same contract as
+            # "stream") at global-slot cost (PERF.md r4)
+            slots = "staged"
         self.slots = slots
         staged = slots == "staged"
 

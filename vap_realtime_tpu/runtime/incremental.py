@@ -76,6 +76,56 @@ def cache_layout(cfg: VapConfig) -> List[str]:
     return names
 
 
+def _pin_default_layout(x: jax.Array) -> jax.Array:
+    """Constrain x to the default (descending minor-to-major) layout.
+
+    XLA's layout assignment gives the per-stream row scatter a
+    {3,1,0,2} operand layout preference that otherwise infects the
+    scan-carried / entry cache and forces a full-cache layout COPY
+    (2.9 GB, ~10 ms/step at B=4096) before every pallas attend launch,
+    whose custom-call operand layout is pinned to the default
+    {3,2,1,0}.  Pinning the scatter RESULT keeps the whole chain in the
+    default layout — the compiled step then has zero full-cache copies
+    (r4 trace + single-step HLO inspection, PERF.md).  No-op on CPU.
+    """
+    if jax.default_backend() == "cpu":
+        return x
+    from jax.experimental import layout as jl
+
+    return jl.with_layout_constraint(x, jl.Layout(tuple(range(x.ndim))))
+
+
+def _scatter_rows(cache: jax.Array, rows: jax.Array, idx: jax.Array
+                  ) -> jax.Array:
+    """Write one (4D,) row per (stream, phase) at per-stream T-position
+    `idx` ((B,) int32; out-of-range = drop).
+
+    (Alternatives measured and rejected in r4: a flat windowed
+    lax.scatter on the (B*P, T*4D) bitcast view — TPU lowers it to an
+    index loop, 164 ms/step; P as an explicit scatter dim — 32.5
+    ms/step.  PERF.md.)
+    """
+    B, P, T, D4 = cache.shape
+    # NOT layout-pinned: with a per-frame scatter the constraint makes
+    # XLA copy the whole cache back to the default layout every frame
+    # (29.6 -> 39.4 ms measured).  The "staged" policy pins only its
+    # 1-in-S merge scatter and reaches global-slot speed (PERF.md r4).
+    return cache.at[jnp.arange(B), :, idx].set(
+        rows, mode="drop", unique_indices=True)
+
+
+def _scatter_rows_multi(cache: jax.Array, vals: jax.Array,
+                        idx: jax.Array) -> jax.Array:
+    """S-row variant of `_scatter_rows` (the staged-merge write).
+
+    vals: (B, S, P, 4D); idx: (B, S) per-stream T-positions (distinct
+    per stream; out-of-range = drop)."""
+    B, P, T, D4 = cache.shape
+    out = cache.at[jnp.arange(B)[:, None], :, idx].set(
+        vals, mode="drop", unique_indices=True)
+    return _pin_default_layout(out)
+
+
 def quantize_rows(rows: jax.Array):
     """Symmetric int8 quantization over the last axis.
 
@@ -510,7 +560,9 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
         def merge(_):
             # one S-row per-stream scatter every S ticks: each staged
             # row goes to its stream's own ring position stamp % T
-            # (bit-identical placement to the "stream" policy)
+            # (bit-identical placement to the "stream" policy).  Flat-
+            # view windowed scatters for the same layout reason as the
+            # "stream" branch.
             b_ix = jnp.arange(B)
             valid = stage_stamp2 >= 0                         # (S, B)
             # invalid rows get DISTINCT out-of-bounds targets (T + i):
@@ -520,13 +572,13 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
             idx = jnp.where(valid, stage_stamp2 % T, oob).T   # (B, S)
             D4 = state.cache.shape[-1]
             vals = jnp.swapaxes(stage2.reshape(S, B, P, D4), 0, 1)
-            c2 = state.cache.at[b_ix[:, None], :, idx].set(
-                vals, mode="drop", unique_indices=True)
+            c2 = _scatter_rows_multi(state.cache, vals, idx)
             st2 = state.stamp.at[b_ix[:, None], idx].set(
                 stage_stamp2.T, mode="drop", unique_indices=True)
-            sc2 = (state.scale.at[b_ix[:, None], :, idx].set(
-                jnp.swapaxes(stage_scale2, 0, 1), mode="drop",
-                unique_indices=True) if quant else state.scale)
+            sc2 = (_scatter_rows_multi(
+                state.scale[..., None],
+                jnp.swapaxes(stage_scale2, 0, 1)[..., None],
+                idx)[..., 0] if quant else state.scale)
             return c2, st2, sc2, jnp.full_like(stage_stamp2, -1)
 
         def no_merge(_):
@@ -537,15 +589,18 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
     elif slots == "stream":
         # per-stream ring position; frozen streams' indices are pushed
         # out of bounds and dropped, so a frozen tick touches NOTHING.
+        # Writes go through the flat-view windowed scatter — the naive
+        # 4-D `.at[b_ix, :, idx].set` gave the scan-carried cache a
+        # scatter-preferred layout and cost a full-cache layout copy
+        # per step (~10 ms at B=4096; r4 trace, PERF.md).
         idx = jnp.where(active, state.count % T, T)
         b_ix = jnp.arange(B)
-        cache = state.cache.at[b_ix, :, idx].set(
-            rows, mode="drop", unique_indices=True)
+        cache = _scatter_rows(state.cache, rows, idx)
         stamp = state.stamp.at[b_ix, idx].set(
             state.count, mode="drop", unique_indices=True)
-        cscale = (state.scale.at[b_ix, :, idx].set(
-            scale_new, mode="drop", unique_indices=True)
-            if quant else state.scale)
+        cscale = (_scatter_rows(state.scale[..., None],
+                                scale_new[..., None], idx)[..., 0]
+                  if quant else state.scale)
     elif slots == "global":
         # one dynamic_update_slice at the scalar global slot; frozen
         # streams' row content + stamp are preserved by a blend (only
@@ -633,7 +688,8 @@ def init_fast_state(cfg: VapConfig, batch: int = 1,
 
 def fast_step(params: Params, state: FastState, new: jax.Array,
               cfg: VapConfig, active: jax.Array | None = None,
-              slots: str = "global", attend_impl: str = "einsum"
+              slots: str = "global", attend_impl: str = "einsum",
+              conv_impl: str = "conv"
               ) -> Tuple[FastState, Dict[str, jax.Array]]:
     """One fast-path frame: new (B, 2, 16000//frame_hz) FRESH samples
     only (no 320-sample overlap) -> probabilities.
@@ -657,7 +713,8 @@ def fast_step(params: Params, state: FastState, new: jax.Array,
     e, conv2, h_new, c_new = encode_chunk_streaming(
         params["encoder"], flat, state.conv,
         state.kv.lstm_h.reshape(B * 2, -1),
-        state.kv.lstm_c.reshape(B * 2, -1), cfg.downsample_kernel)
+        state.kv.lstm_c.reshape(B * 2, -1), cfg.downsample_kernel,
+        conv_impl)
     e = e.reshape(B, 2, D).astype(dtype)
 
     act2 = jnp.repeat(active, 2)

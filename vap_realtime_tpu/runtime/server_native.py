@@ -108,7 +108,7 @@ def main(argv: Optional[list] = None):
                     choices=["full", "kv", "hybrid", "fast", "fast_hybrid"],
                     default="kv")
     ap.add_argument("--slots", choices=["stream", "global", "staged"],
-                    default="stream",
+                    default="staged",
                     help="KV write-slot policy: 'stream' = exact "
                          "interleave invariance under jittery traffic "
                          "(default); 'global' = cheapest write (+27%% "
