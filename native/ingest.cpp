@@ -46,14 +46,19 @@ constexpr int kRing = 4;                  // per-slot ready-frame queue
 struct Slot {
   int fd = -1;
   bool active = false;
-  // rolling accumulation buffers (frame_samples floats per channel)
+  // rolling accumulation buffers (frame_samples floats per channel;
+  // int16 raw samples instead when the engine runs in emit_i16 mode —
+  // the consumer normalizes on the accelerator, quartering the
+  // host->device transfer)
   std::vector<float> acc1, acc2;
+  std::vector<int16_t> acc1_i, acc2_i;
   int fill = 0;                            // samples accumulated
   // parse buffer for partial packets
   std::vector<uint8_t> inbuf;
   // ready-frame ring: kRing frames of (2 * frame_samples); drop-oldest
   // only when the consumer lags by a full ring (realtime semantics)
   std::vector<float> ready;
+  std::vector<int16_t> ready_i;
   std::atomic<uint32_t> wpos{0}, rpos{0};
   // outgoing bytes
   std::vector<uint8_t> outbuf;
@@ -74,6 +79,7 @@ struct Engine {
   // chunks — runtime/incremental.py fast_step)
   int overlap = kPad;
   bool wire_int16 = false;
+  bool emit_i16 = false;   // publish int16 frames (requires wire_int16)
   uint16_t port = 0;
   std::vector<Slot> slots;
   std::vector<int> fd2slot;                // fd -> slot (sized by fd)
@@ -92,6 +98,8 @@ struct Engine {
         s.fill = overlap;  // reference zero left-context (vap_main.py:368)
         std::fill(s.acc1.begin(), s.acc1.end(), 0.f);
         std::fill(s.acc2.begin(), s.acc2.end(), 0.f);
+        std::fill(s.acc1_i.begin(), s.acc1_i.end(), (int16_t)0);
+        std::fill(s.acc2_i.begin(), s.acc2_i.end(), (int16_t)0);
         s.inbuf.clear();
         s.wpos.store(0);
         s.rpos.store(0);
@@ -130,7 +138,13 @@ void parse_hops(Engine *e, Slot &s) {
     const uint8_t *p = s.inbuf.data() + off;
     int room = e->frame_samples - s.fill;
     int take = kHop < room ? kHop : room;
-    if (e->wire_int16) {
+    if (e->emit_i16) {
+      const int16_t *v = reinterpret_cast<const int16_t *>(p);
+      for (int i = 0; i < take; i++) {
+        s.acc1_i[s.fill + i] = v[2 * i];
+        s.acc2_i[s.fill + i] = v[2 * i + 1];
+      }
+    } else if (e->wire_int16) {
       const int16_t *v = reinterpret_cast<const int16_t *>(p);
       for (int i = 0; i < take; i++) {
         s.acc1[s.fill + i] = (float)v[2 * i] / 32768.f;
@@ -153,22 +167,40 @@ void parse_hops(Engine *e, Slot &s) {
       if (w - r >= kRing) {
         s.rpos.store(w - kRing + 1, std::memory_order_release);
       }
-      float *dst = s.ready.data() +
-                   (size_t)(w % kRing) * 2 * e->frame_samples;
-      std::memcpy(dst, s.acc1.data(), e->frame_samples * sizeof(float));
-      std::memcpy(dst + e->frame_samples, s.acc2.data(),
-                  e->frame_samples * sizeof(float));
+      if (e->emit_i16) {
+        int16_t *dst = s.ready_i.data() +
+                       (size_t)(w % kRing) * 2 * e->frame_samples;
+        std::memcpy(dst, s.acc1_i.data(),
+                    e->frame_samples * sizeof(int16_t));
+        std::memcpy(dst + e->frame_samples, s.acc2_i.data(),
+                    e->frame_samples * sizeof(int16_t));
+      } else {
+        float *dst = s.ready.data() +
+                     (size_t)(w % kRing) * 2 * e->frame_samples;
+        std::memcpy(dst, s.acc1.data(), e->frame_samples * sizeof(float));
+        std::memcpy(dst + e->frame_samples, s.acc2.data(),
+                    e->frame_samples * sizeof(float));
+      }
       s.wpos.store(w + 1, std::memory_order_release);
       s.frames++;
       // keep last `overlap` samples as the next frame's left context
       // (overlap == 0 on the fast path: frames are disjoint)
       if (e->overlap > 0) {
-        std::memmove(s.acc1.data(),
-                     s.acc1.data() + e->frame_samples - e->overlap,
-                     e->overlap * sizeof(float));
-        std::memmove(s.acc2.data(),
-                     s.acc2.data() + e->frame_samples - e->overlap,
-                     e->overlap * sizeof(float));
+        if (e->emit_i16) {
+          std::memmove(s.acc1_i.data(),
+                       s.acc1_i.data() + e->frame_samples - e->overlap,
+                       e->overlap * sizeof(int16_t));
+          std::memmove(s.acc2_i.data(),
+                       s.acc2_i.data() + e->frame_samples - e->overlap,
+                       e->overlap * sizeof(int16_t));
+        } else {
+          std::memmove(s.acc1.data(),
+                       s.acc1.data() + e->frame_samples - e->overlap,
+                       e->overlap * sizeof(float));
+          std::memmove(s.acc2.data(),
+                       s.acc2.data() + e->frame_samples - e->overlap,
+                       e->overlap * sizeof(float));
+        }
       }
       s.fill = e->overlap;
       // note: a hop never straddles a frame boundary because
@@ -258,16 +290,25 @@ extern "C" {
 
 void *vap_ingest_create(uint16_t port, int capacity, int frame_samples,
                         int wire_int16, int overlap) {
+  // emit_i16: wire_int16 == 2 publishes raw int16 frames (normalize on
+  // the accelerator — 4x lower host->device transfer than float32)
   Engine *e = new Engine();
   e->capacity = capacity;
   e->frame_samples = frame_samples;
   e->wire_int16 = wire_int16 != 0;
+  e->emit_i16 = wire_int16 == 2;
   e->overlap = overlap < 0 ? kPad : overlap;
   e->slots = std::vector<Slot>(capacity);
   for (auto &s : e->slots) {
-    s.acc1.assign(frame_samples, 0.f);
-    s.acc2.assign(frame_samples, 0.f);
-    s.ready.assign((size_t)kRing * 2 * frame_samples, 0.f);
+    if (e->emit_i16) {
+      s.acc1_i.assign(frame_samples, 0);
+      s.acc2_i.assign(frame_samples, 0);
+      s.ready_i.assign((size_t)kRing * 2 * frame_samples, 0);
+    } else {
+      s.acc1.assign(frame_samples, 0.f);
+      s.acc2.assign(frame_samples, 0.f);
+      s.ready.assign((size_t)kRing * 2 * frame_samples, 0.f);
+    }
   }
 
   e->listen_fd = socket(AF_INET, SOCK_STREAM | SOCK_NONBLOCK, 0);
@@ -333,6 +374,26 @@ int vap_ingest_poll(void *h, float *frames_out, int *slots_out,
                        (size_t)(r % kRing) * 2 * e->frame_samples;
     std::memcpy(frames_out + (size_t)sl * 2 * e->frame_samples, src,
                 2 * e->frame_samples * sizeof(float));
+    s.rpos.store(r + 1, std::memory_order_release);
+    slots_out[n++] = sl;
+  }
+  return n;
+}
+
+// emit_i16-mode drain: raw int16 frames (consumer normalizes /32768).
+int vap_ingest_poll_i16(void *h, int16_t *frames_out, int *slots_out,
+                        int max_slots) {
+  Engine *e = (Engine *)h;
+  int n = 0;
+  for (int sl = 0; sl < e->capacity && n < max_slots; sl++) {
+    Slot &s = e->slots[sl];
+    if (!s.active) continue;
+    uint32_t r = s.rpos.load(std::memory_order_relaxed);
+    if (s.wpos.load(std::memory_order_acquire) == r) continue;
+    const int16_t *src = s.ready_i.data() +
+                         (size_t)(r % kRing) * 2 * e->frame_samples;
+    std::memcpy(frames_out + (size_t)sl * 2 * e->frame_samples, src,
+                2 * e->frame_samples * sizeof(int16_t));
     s.rpos.store(r + 1, std::memory_order_release);
     slots_out[n++] = sl;
   }

@@ -107,6 +107,88 @@ def test_int16_wire(lib):
     ing.close()
 
 
+def test_int16_emit_raw_frames(lib):
+    """emit_i16 mode: poll() returns the RAW int16 samples bit-exactly
+    (device-side normalization path; 4x lower host->device bytes)."""
+    ing = lib(port=0, capacity=4, frame_samples=800, wire_int16=True,
+              overlap=0, emit_i16=True)
+    audio = synthetic_audio(16000)
+    pcm = np.clip(audio * 32768, -32768, 32767).astype("<i2")
+    with socket.create_connection(("127.0.0.1", ing.port), timeout=10) as s:
+        for h in range(5):
+            pair = np.empty((160, 2), "<i2")
+            pair[:, 0] = pcm[0, h * 160:(h + 1) * 160]
+            pair[:, 1] = pcm[1, h * 160:(h + 1) * 160]
+            s.sendall(pair.tobytes())
+            time.sleep(0.002)
+        deadline = time.time() + 5
+        slots = []
+        while not slots and time.time() < deadline:
+            slots, frames = ing.poll()
+            time.sleep(0.002)
+    assert slots
+    assert frames.dtype == np.int16
+    np.testing.assert_array_equal(frames[slots[0]][0], pcm[0, :800])
+    np.testing.assert_array_equal(frames[slots[0]][1], pcm[1, :800])
+    ing.close()
+
+
+def test_native_server_int16_device_path(lib):
+    """server_native with int16 wire + int16-capable arena: frames stay
+    int16 to arena.step, normalized on device; results parse and the
+    echoed x1/x2 match the sent audio."""
+    import jax.numpy as jnp
+
+    from vap_realtime_tpu.runtime.arena import StreamArena
+    from vap_realtime_tpu.runtime.server_native import NativeVapServer
+
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    arena = StreamArena(cfg, synthetic_params(20), capacity=2,
+                        path="fast", attend_impl="pallas",
+                        wire_dtype=np.int16)
+    arena.warmup()
+    srv = NativeVapServer(arena, port=0, wire_int16=True)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    audio = synthetic_audio(16000)
+    pcm = np.clip(audio * 32768, -32768, 32767).astype("<i2")
+    results = []
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port),
+                                      timeout=15) as s:
+            s.settimeout(15)
+            buf = b""
+            for h in range(25):
+                pair = np.empty((160, 2), "<i2")
+                pair[:, 0] = pcm[0, h * 160:(h + 1) * 160]
+                pair[:, 1] = pcm[1, h * 160:(h + 1) * 160]
+                s.sendall(pair.tobytes())
+                time.sleep(0.01)
+                if (h + 1) % 5 == 0:
+                    deadline = time.time() + 10
+                    while len(results) < (h + 1) // 5 and \
+                            time.time() < deadline:
+                        try:
+                            buf += s.recv(65536)
+                        except socket.timeout:
+                            break
+                        while len(buf) >= 4:
+                            ln = int.from_bytes(buf[:4], "little")
+                            if len(buf) < 4 + ln:
+                                break
+                            results.append(wire.deserialize_result(
+                                buf[4:4 + ln], "vap"))
+                            buf = buf[4 + ln:]
+    finally:
+        srv.stop()
+    assert len(results) >= 3
+    r0 = results[0]
+    np.testing.assert_allclose(np.asarray(r0["x1"]), audio[0, :800],
+                               atol=1.5 / 32768)
+    p = np.asarray(r0["p_now"])
+    assert p.shape[-1] == 2 and np.isfinite(p).all()
+
+
 def test_zero_overlap_frame_assembly(lib):
     """overlap=0 (fast path): disjoint fresh-sample chunks, no zero
     left-context prepend and no 320-sample re-send."""

@@ -72,3 +72,28 @@ def test_framing():
     framed = wire.frame_result(payload)
     assert framed[:4] == len(payload).to_bytes(4, "little")
     assert framed[4:] == payload
+
+
+def test_serialize_results_batch_byte_identical():
+    """Vectorized batch serializer == per-dict serialize_result, byte
+    for byte, for every mode."""
+    import numpy as np
+
+    from vap_realtime_tpu.io import wire
+
+    rs = np.random.RandomState(0)
+    n, L = 5, 17
+    t = 1234.5678
+    for mode, keys in wire._KEYS.items():
+        fields = {}
+        for k in keys:
+            width = L if k in ("x1", "x2") else rs.randint(1, 4)
+            fields[k] = rs.randn(n, width)
+        got = wire.serialize_results_batch(t, fields, mode)
+        for i in range(n):
+            payload = {"t": t}
+            for k in keys:
+                payload[k] = fields[k][i]
+            want = wire.frame_result(
+                wire.serialize_result(payload, mode))
+            assert got[i] == want, (mode, i)

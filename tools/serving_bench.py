@@ -12,7 +12,7 @@ rvap/vap_main/vap_main.py:354-457).
 
 Run (on the TPU host; serialize with other TPU jobs):
   python tools/serving_bench.py --streams 1024,4096 --seconds 30 \
-      --engine_path fast --attend_impl pallas3 --bf16 --int16 \
+      --engine_path fast --attend_impl pallas --bf16 --int16 \
       --out SERVING_r04.json
 """
 
@@ -46,8 +46,8 @@ def main(argv=None):
                     help="comma list of concurrent-stream counts")
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--engine_path", default="fast")
-    ap.add_argument("--attend_impl", default="pallas3")
-    ap.add_argument("--slots", default="stream")
+    ap.add_argument("--attend_impl", default="pallas")
+    ap.add_argument("--slots", default="staged")
     ap.add_argument("--mode", default="vap")
     ap.add_argument("--hz", type=int, default=20)
     ap.add_argument("--bf16", action="store_true", default=True)
@@ -74,7 +74,23 @@ def main(argv=None):
 
     cfg = VapConfig(frame_hz=args.hz, context_len_sec=2.5, mode=args.mode)
     params = synthetic_params(cfg.frame_hz, mode=args.mode)
+
+    # measure host->device bandwidth: through the axon relay TUNNEL this
+    # is ~20-30 MB/s (vs 16-32 GB/s PCIe on a real TPU host) and is THE
+    # cap on socket-path serving here — record it so the result is read
+    # in context (a PCIe host moves the same per-tick batch in ~1-2 ms)
+    import jax
+    import numpy as np
+    probe = np.random.randn(1024, 2, 800).astype(np.float32)
+    sink = jax.jit(lambda a: jnp.sum(a))
+    _ = float(sink(jax.device_put(probe)))
+    t0 = time.time()
+    for _i in range(3):
+        _ = float(sink(jax.device_put(probe)))
+    h2d = probe.nbytes * 3 / (time.time() - t0)
+
     report = {"config": {
+        "host_to_device_MBps": round(h2d / 1e6, 1),
         "engine_path": args.engine_path, "attend_impl": args.attend_impl,
         "slots": args.slots, "mode": args.mode, "hz": args.hz,
         "bf16": args.bf16, "wire": "int16" if args.int16 else "float64",
@@ -82,26 +98,29 @@ def main(argv=None):
         "seconds": args.seconds,
     }, "runs": []}
 
-    arena = StreamArena(cfg, params, capacity=capacity,
-                        path=args.engine_path,
-                        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                        attend_impl=args.attend_impl, slots=args.slots,
-                        quant_cache=args.quant_cache)
-    print("[serving_bench] warmup (compiles the full-capacity step)...",
-          file=sys.stderr, flush=True)
-    t0 = time.time()
-    arena.warmup()
-    print(f"[serving_bench] warm in {time.time()-t0:.0f}s",
-          file=sys.stderr, flush=True)
-
-    server = NativeVapServer(arena, mode=args.mode, port=0,
-                             wire_int16=args.int16)
-    th = threading.Thread(target=server.serve_forever, daemon=True)
-    th.start()
-
     overlap = 0 if args.engine_path in ("fast", "fast_hybrid") else 320
-    try:
-        for n in stream_counts:
+    for n in stream_counts:
+        # capacity == n: every tick moves exactly n streams' bytes —
+        # a capacity-sized batch would ship the MAX count's transfer
+        # on every run and hide the per-count scaling
+        arena = StreamArena(cfg, params, capacity=n,
+                            path=args.engine_path,
+                            dtype=(jnp.bfloat16 if args.bf16
+                                   else jnp.float32),
+                            attend_impl=args.attend_impl,
+                            slots=args.slots,
+                            quant_cache=args.quant_cache,
+                            wire_dtype=np.int16 if args.int16
+                            else np.float32)
+        t0 = time.time()
+        arena.warmup()
+        print(f"[serving_bench] capacity {n} warm in "
+              f"{time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+        server = NativeVapServer(arena, mode=args.mode, port=0,
+                                 wire_int16=args.int16)
+        th = threading.Thread(target=server.serve_forever, daemon=True)
+        th.start()
+        try:
             cmd = [loadgen, "--port", str(server.port),
                    "--streams", str(n), "--seconds", str(args.seconds),
                    "--hz", str(args.hz), "--overlap", str(overlap),
@@ -116,11 +135,18 @@ def main(argv=None):
             run = json.loads(line)
             run["realtime"] = (run.get("results_per_sec", 0)
                                >= 0.97 * n * args.hz)
+            st = server.tick_stats
+            if st["n"]:
+                run["server_ms_per_tick"] = {
+                    k: round(st[k] / st["n"] * 1e3, 1)
+                    for k in ("dispatch", "fetch", "send")}
+                run["ticks"] = st["n"]
             report["runs"].append(run)
             print(json.dumps(run), flush=True)
-            time.sleep(2.0)  # let queues fully drain between runs
-    finally:
-        server.stop()
+        finally:
+            server.stop()
+        del server, arena
+        time.sleep(2.0)  # let queues fully drain between runs
 
     # headline: largest stream count that held >=97% of realtime rate
     # with p99 under one frame period

@@ -42,6 +42,10 @@ def _load_lib():
     lib.vap_ingest_poll.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+    lib.vap_ingest_poll_i16.restype = ctypes.c_int
+    lib.vap_ingest_poll_i16.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int]
     lib.vap_ingest_send.restype = ctypes.c_int
     lib.vap_ingest_send.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                     ctypes.c_char_p, ctypes.c_int]
@@ -54,19 +58,29 @@ def _load_lib():
 class NativeIngest:
     def __init__(self, port: int = 0, capacity: int = 1024,
                  frame_samples: int = 1120, wire_int16: bool = False,
-                 overlap: int = -1):
+                 overlap: int = -1, emit_i16: bool = False):
         """overlap: samples kept as each next frame's left context
         (-1 = the reference's 320-sample `frame_contxt_padding`; 0 for
-        the fast path's disjoint fresh-sample chunks)."""
+        the fast path's disjoint fresh-sample chunks).
+
+        emit_i16 (requires wire_int16): poll() returns RAW int16 frames
+        — the consumer normalizes /32768 on the accelerator, quartering
+        the host->device transfer (the serving bottleneck through slow
+        host links; tools/serving_bench.py)."""
+        if emit_i16 and not wire_int16:
+            raise ValueError("emit_i16 requires wire_int16")
         self._lib = _load_lib()
         self._h = self._lib.vap_ingest_create(
-            port, capacity, frame_samples, int(wire_int16), overlap)
+            port, capacity, frame_samples,
+            2 if emit_i16 else int(wire_int16), overlap)
         if not self._h:
             raise OSError(f"vap_ingest_create failed (port {port})")
         self.capacity = capacity
         self.frame_samples = frame_samples
+        self.emit_i16 = emit_i16
         self.port = int(self._lib.vap_ingest_port(self._h))
-        self._frames = np.zeros((capacity, 2, frame_samples), np.float32)
+        self._frames = np.zeros((capacity, 2, frame_samples),
+                                np.int16 if emit_i16 else np.float32)
         self._slots = np.zeros((capacity,), np.int32)
 
     @property
@@ -82,11 +96,20 @@ class NativeIngest:
         list are stale)."""
         if not self._h:
             return [], self._frames
-        n = self._lib.vap_ingest_poll(
-            self._h,
-            self._frames.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            self._slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            self.capacity)
+        if self.emit_i16:
+            n = self._lib.vap_ingest_poll_i16(
+                self._h,
+                self._frames.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int16)),
+                self._slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                self.capacity)
+        else:
+            n = self._lib.vap_ingest_poll(
+                self._h,
+                self._frames.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_float)),
+                self._slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                self.capacity)
         return self._slots[:n].tolist(), self._frames
 
     def send(self, slot: int, payload: bytes) -> int:

@@ -25,48 +25,93 @@ from vap_realtime_tpu.config import VapConfig
 from vap_realtime_tpu.runtime import incremental, streaming
 
 
-def _reset_slot(state, idx: jax.Array):
-    """Zero one slot's recurrent state + validity counter (jit-friendly)."""
+def jit_pinned(fn, *protos, donate_argnums=()):
+    """jit `fn` with DEFAULT entry/exit layouts pinned on every array.
+
+    Without this, XLA picks the per-stream row scatter's preferred
+    {3,1,0,2} entry layout for the KV cache and inserts full-cache
+    layout COPIES (2.9 GB each at B=4096) around the pallas attend
+    launches, whose custom-call operand layouts are fixed at the
+    default — measured ~10 ms/tick (r4 trace; PERF.md).  Pinning every
+    array argument and result to the default (descending) layout
+    compiles to ZERO full-cache copies.  EVERY jit whose results feed a
+    pinned jit must itself be pinned (jit rejects mismatched arg
+    layouts instead of copying).  No-op on CPU (tests).
+
+    protos: one array / ShapeDtypeStruct pytree per positional arg.
+    """
+    if jax.default_backend() == "cpu":
+        return jax.jit(fn)
+    from jax.experimental import layout as jl
+    from jax.sharding import SingleDeviceSharding
+
+    dev = jax.devices()[0]
+
+    def fmt(x):
+        return jl.Format(jl.Layout(tuple(range(x.ndim))),
+                         SingleDeviceSharding(dev))
+
+    in_f = jax.tree_util.tree_map(fmt, protos)
+    out_f = jax.tree_util.tree_map(fmt, jax.eval_shape(fn, *protos))
+    # donation: per-tick serving otherwise allocates a fresh multi-GB
+    # state each step while the old one awaits deferred deallocation —
+    # measured RESOURCE_EXHAUSTED after a few ticks at capacity 4096
+    # through the relay.  Callers must REPLACE their state with the
+    # result (arena.step/warmup/add_stream do).
+    return jax.jit(fn, in_shardings=in_f, out_shardings=out_f,
+                   donate_argnums=donate_argnums)
+
+
+def _reset_slot(state, mask: jax.Array):
+    """Zero the recurrent state + validity counters of every slot where
+    `mask` ((B,) bool) is set.
+
+    Mask-based so ANY number of slots resets in ONE fixed-shape jitted
+    call: per-slot index calls serialize one device round trip per new
+    connection (~25 ms each through a remote device link — a 4096-conn
+    ramp spent 100+ s in resets before this, r4)."""
     if isinstance(state, incremental.FastHybridState):
-        rows = jnp.stack([2 * idx, 2 * idx + 1])
+        m2 = jnp.repeat(mask, 2)
         return incremental.FastHybridState(
-            kv=_reset_slot(state.kv, idx),
-            conv={k: v.at[rows].set(0.0) for k, v in state.conv.items()},
+            kv=_reset_slot(state.kv, mask),
+            conv={k: jnp.where(m2[:, None, None], 0.0, v)
+                  for k, v in state.conv.items()},
             e_ctx=state.e_ctx,  # masked by count (right-aligned validity)
         )
     if isinstance(state, incremental.FastState):
         # conv tails are stored per CHANNEL-stream (B*2 leading axis):
-        # slot idx owns rows 2*idx and 2*idx+1
-        rows = jnp.stack([2 * idx, 2 * idx + 1])
+        # slot i owns rows 2i and 2i+1
+        m2 = jnp.repeat(mask, 2)
         return incremental.FastState(
-            kv=_reset_slot(state.kv, idx),
-            conv={k: v.at[rows].set(0.0) for k, v in state.conv.items()},
+            kv=_reset_slot(state.kv, mask),
+            conv={k: jnp.where(m2[:, None, None], 0.0, v)
+                  for k, v in state.conv.items()},
         )
     if isinstance(state, incremental.HybridState):
         return incremental.HybridState(
-            kv=_reset_slot(state.kv, idx),
+            kv=_reset_slot(state.kv, mask),
             e_ctx=state.e_ctx,  # masked by count (right-aligned validity)
         )
     if isinstance(state, incremental.KVState):
         return incremental.KVState(
             cache=state.cache,  # stale rows masked by stamp
             scale=state.scale,  # ditto (scales only read for live rows)
-            lstm_h=state.lstm_h.at[idx].set(0.0),
-            lstm_c=state.lstm_c.at[idx].set(0.0),
-            count=state.count.at[idx].set(0),
-            stamp=state.stamp.at[idx].set(-1),
+            lstm_h=jnp.where(mask[:, None, None], 0.0, state.lstm_h),
+            lstm_c=jnp.where(mask[:, None, None], 0.0, state.lstm_c),
+            count=jnp.where(mask, 0, state.count),
+            stamp=jnp.where(mask[:, None], -1, state.stamp),
             step=state.step,
             stage=state.stage,  # stale staged rows masked by stage_stamp
-            stage_stamp=(state.stage_stamp.at[:, idx].set(-1)
+            stage_stamp=(jnp.where(mask[None, :], -1, state.stage_stamp)
                          if state.stage_stamp.ndim == 2
                          else state.stage_stamp),
             stage_scale=state.stage_scale,
         )
     return streaming.StreamState(
-        lstm_h=state.lstm_h.at[idx].set(0.0),
-        lstm_c=state.lstm_c.at[idx].set(0.0),
+        lstm_h=jnp.where(mask[:, None, None], 0.0, state.lstm_h),
+        lstm_c=jnp.where(mask[:, None, None], 0.0, state.lstm_c),
         e_ctx=state.e_ctx,  # masked by count (right-aligned validity)
-        count=state.count.at[idx].set(0),
+        count=jnp.where(mask, 0, state.count),
     )
 
 
@@ -76,10 +121,16 @@ class StreamArena:
     def __init__(self, cfg: VapConfig, params, capacity: int = 64,
                  path: str = "kv", dtype=jnp.float32, slots: str = "staged",
                  resync_every: Optional[int] = None,
-                 attend_impl: str = "einsum", quant_cache: bool = False):
+                 attend_impl: str = "einsum", quant_cache: bool = False,
+                 wire_dtype=np.float32):
+        """wire_dtype: dtype of the chunks fed to step() — np.float32
+        (normalized audio) or np.int16 (raw samples; normalized /32768
+        on device — quarters the host->device transfer, the serving
+        bottleneck on slow host links)."""
         self.cfg = cfg
         self.capacity = capacity
         self.path = path
+        self.wire_dtype = wire_dtype
         # fast path consumes FRESH samples only (frame_shift, no
         # 320-sample overlap); all other paths take full overlapped frames
         self.chunk_samples = (cfg.frame_shift
@@ -91,45 +142,62 @@ class StreamArena:
         if path == "fast":
             self.state = incremental.init_fast_state(cfg, capacity, dtype,
                                                      quant_cache, staged)
-            step_fn = lambda p, st, ch, c, act: incremental.fast_step(
-                p, st, ch, c, act, slots=slots, attend_impl=attend_impl)
-            self._step = jax.jit(step_fn, static_argnums=3)
+            step_fn = lambda p, st, ch, act: incremental.fast_step(
+                p, st, ch, cfg, act, slots=slots, attend_impl=attend_impl)
         elif path == "fast_hybrid":
             n = resync_every if resync_every is not None \
                 else cfg.context_frames
             self.state = incremental.init_fast_hybrid_state(
                 cfg, capacity, dtype, quant_cache)
-            step_fn = lambda p, st, ch, c, act: \
-                incremental.fast_hybrid_step(p, st, ch, c, act, n,
+            step_fn = lambda p, st, ch, act: \
+                incremental.fast_hybrid_step(p, st, ch, cfg, act, n,
                                              attend_impl)
-            self._step = jax.jit(step_fn, static_argnums=3)
         elif path == "hybrid":
             n = resync_every if resync_every is not None \
                 else cfg.context_frames
             self.state = incremental.init_hybrid_state(cfg, capacity, dtype,
                                                        quant_cache)
-            step_fn = lambda p, st, ch, c, act: incremental.hybrid_step(
-                p, st, ch, c, act, n)
-            self._step = jax.jit(step_fn, static_argnums=3)
+            step_fn = lambda p, st, ch, act: incremental.hybrid_step(
+                p, st, ch, cfg, act, n)
         elif path == "kv":
             self.state = incremental.init_kv_state(cfg, capacity, dtype,
                                                    quant_cache, staged)
-            # "stream" slots (default): per-stream ring positions make a
-            # stream's context exactly its last T own frames no matter how
-            # arena ticks interleave — required for the isolation contract
-            # under real (jittery) traffic.  "global" is cheaper but
-            # shortens a d-duty-cycle stream's context to ~d*T after wrap.
-            step_fn = lambda p, st, ch, c, act: incremental.kv_step(
-                p, st, ch, c, act, slots=slots)
-            self._step = jax.jit(step_fn, static_argnums=3)
+            # "staged" slots (default): per-stream ring semantics (a
+            # stream's context is exactly its last T own frames no
+            # matter how arena ticks interleave — the isolation
+            # contract) at global-slot write cost via the frame-major
+            # stage.  "global" shortens a d-duty-cycle stream's context
+            # to ~d*T after wrap; "stream" is the per-frame scatter.
+            step_fn = lambda p, st, ch, act: incremental.kv_step(
+                p, st, ch, cfg, act, slots=slots)
         else:
+            step_fn = lambda p, st, ch, act: streaming.stream_step(
+                p, st, ch, cfg, act)
             self.state = streaming.init_stream_state(cfg, capacity, dtype)
-            self._step = jax.jit(streaming.stream_step, static_argnums=3)
-        self._reset = jax.jit(_reset_slot)
+        raw_fn = step_fn
+
+        def step_cast(p, st, ch, act):
+            # chunks arrive float32 or raw int16; cast/normalize on
+            # device (free: fuses into the first conv)
+            x = ch.astype(dtype)
+            if ch.dtype == jnp.int16:
+                x = x * jnp.asarray(1.0 / 32768.0, dtype)
+            return raw_fn(p, st, x, act)
+
+        cs = jax.ShapeDtypeStruct((capacity, 2, self.chunk_samples),
+                                  jnp.dtype(wire_dtype))
+        ap = jax.ShapeDtypeStruct((capacity,), jnp.bool_)
+        self._step = jit_pinned(step_cast, self.params, self.state,
+                                cs, ap, donate_argnums=(1,))
+        self._reset = jit_pinned(
+            _reset_slot, self.state,
+            jax.ShapeDtypeStruct((capacity,), jnp.bool_),
+            donate_argnums=(0,))
         self._free: List[int] = list(range(capacity))
         self._active: Dict[int, bool] = {}
         self._lock = threading.Lock()
-        self._zero = np.zeros((capacity, 2, self.chunk_samples), np.float32)
+        self._zero = np.zeros((capacity, 2, self.chunk_samples),
+                              wire_dtype)
 
     # --- lifecycle ---------------------------------------------------------
 
@@ -144,7 +212,7 @@ class StreamArena:
                 return None
             slot = self._free.pop()
             self._active[slot] = True
-        self.state = self._reset(self.state, jnp.asarray(slot))
+        self.reset_slot(slot)
         return slot
 
     def remove_stream(self, slot: int) -> None:
@@ -156,7 +224,15 @@ class StreamArena:
         """Reset a slot's stream state WITHOUT touching the free list —
         for external slot managers (native ingest engine) that own the
         slot lifecycle themselves."""
-        self.state = self._reset(self.state, jnp.asarray(slot))
+        self.reset_slots([slot])
+
+    def reset_slots(self, slots) -> None:
+        """Reset MANY slots in one fixed-shape jitted call (per-slot
+        calls cost one device round trip each; a connection ramp can
+        carry thousands per tick)."""
+        mask = np.zeros((self.capacity,), bool)
+        mask[list(slots)] = True
+        self.state = self._reset(self.state, jnp.asarray(mask))
 
     # --- stepping ----------------------------------------------------------
 
@@ -166,8 +242,11 @@ class StreamArena:
         # scatter; "global" blends frozen rows through unchanged), so this
         # is safe at any point in the arena's life, not just startup.
         st, out = self._step(self.params, self.state,
-                             jnp.asarray(self._zero), self.cfg,
+                             jnp.asarray(self._zero),
                              jnp.zeros((self.capacity,), bool))
+        # the state arg is DONATED: keep the (semantically identical)
+        # result, the input buffer is gone
+        self.state = st
         jax.block_until_ready(out)
 
     def step(self, chunks: Dict[int, np.ndarray]) -> Dict[int, Dict]:
@@ -186,14 +265,24 @@ class StreamArena:
         Returns {slot: {output_name: np.ndarray}} for the slots in
         `chunks`.
         """
+        out = self.step_device(chunks)
+        # ONE batched device_get (np.asarray per key costs one host
+        # round trip EACH — 5x the latency through a remote device link)
+        out_np = jax.device_get(out)
+        return {slot: {k: v[slot] for k, v in out_np.items()}
+                for slot in chunks}
+
+    def step_device(self, chunks: Dict[int, np.ndarray]):
+        """Dispatch one tick and return the DEVICE output dict without
+        reading it back — callers that pipeline ticks (server_native)
+        fetch the previous tick's results while this one runs, hiding
+        the host<->device round trips behind compute."""
         batch = self._zero.copy()
         act = np.zeros((self.capacity,), bool)
         for slot, chunk in chunks.items():
             batch[slot] = chunk
             act[slot] = True
         self.state, out = self._step(self.params, self.state,
-                                     jnp.asarray(batch), self.cfg,
+                                     jnp.asarray(batch),
                                      jnp.asarray(act))
-        out_np = {k: np.asarray(v) for k, v in out.items()}
-        return {slot: {k: v[slot] for k, v in out_np.items()}
-                for slot in chunks}
+        return out

@@ -36,38 +36,80 @@ class NativeVapServer:
         self._pad = (0 if getattr(arena, "path", "kv")
                      in ("fast", "fast_hybrid")
                      else FRAME_CONTEXT_PADDING)
+        # int16-wire + int16-capable arena: keep frames int16 end to end
+        # (normalized on device; 4x lower host->device transfer)
+        self._i16 = bool(wire_int16) and np.dtype(
+            getattr(arena, "wire_dtype", np.float32)) == np.int16
         self.ingest = NativeIngest(port, arena.capacity,
                                    arena.chunk_samples, wire_int16,
-                                   overlap=self._pad)
+                                   overlap=self._pad,
+                                   emit_i16=self._i16)
         self.port = self.ingest.port
         self._gens = np.zeros((arena.capacity,), np.int64)
         self._stop = False
         self.frames_served = 0
+        # one-tick pipeline: (slots, audio-echo, device outputs) of the
+        # previous dispatch; its results are fetched while the current
+        # dispatch runs, so the host<->device round trips (2x ~25 ms
+        # through a remote device link) hide behind compute instead of
+        # serializing into the tick
+        self._pending = None
+        # per-phase tick time accumulators (seconds): dispatch =
+        # device_put + jit call; fetch = batched device_get of the
+        # previous tick's outputs; send = wire serialization + queue
+        self.tick_stats = {"n": 0, "dispatch": 0.0, "fetch": 0.0,
+                           "send": 0.0}
 
     def tick(self) -> int:
-        """One serving tick: drain ready frames, detect slot reuse, run
-        one arena dispatch, queue results.  Returns #streams served."""
+        """One serving tick: drain ready frames, detect slot reuse,
+        dispatch one arena step, ship the PREVIOUS step's results.
+        Returns #streams served (dispatched) this tick."""
         slots, frames = self.ingest.poll()
-        if not slots:
-            return 0
-        for sl in slots:
-            gen = self.ingest.generation(sl)
-            if gen != self._gens[sl]:
-                self.arena.reset_slot(sl)
-                self._gens[sl] = gen
-        chunks = {sl: frames[sl] for sl in slots}
-        results = self.arena.step(chunks)
+        t0 = time.time()
+        if slots:
+            fresh = []
+            for sl in slots:
+                gen = self.ingest.generation(sl)
+                if gen != self._gens[sl]:
+                    fresh.append(sl)
+                    self._gens[sl] = gen
+            if fresh:
+                # ONE batched reset — per-slot calls pay a device round
+                # trip each (a connection ramp carries thousands/tick)
+                self.arena.reset_slots(fresh)
+            chunks = {sl: frames[sl] for sl in slots}
+            out_dev = self.arena.step_device(chunks)
+            pad = self._pad
+            sc = (1.0 / 32768.0) if self._i16 else 1.0
+            # vectorized audio echo for the result payloads: (n, 2, L')
+            echo = frames[np.asarray(slots)][:, :, pad:] * sc
+            prev, self._pending = self._pending, (slots, echo, out_dev)
+            self.tick_stats["n"] += 1
+        else:
+            prev, self._pending = self._pending, None
+        t1 = time.time()
+        self.tick_stats["dispatch"] += t1 - t0
+        if prev is None:
+            return len(slots) if slots else 0
+        p_slots, p_echo, p_out = prev
+        import jax
+
+        out_np = jax.device_get(p_out)    # ONE batched readback
+        self.tick_stats["fetch"] += time.time() - t1
         t = time.time()
-        pad = self._pad
-        for sl, r in results.items():
-            payload = {"t": t, "x1": frames[sl, 0, pad:],
-                       "x2": frames[sl, 1, pad:]}
-            for key in RESULT_KEYS[self.mode]:
-                payload[key] = np.atleast_1d(r[key])
-            self.ingest.send(sl, wire.frame_result(
-                wire.serialize_result(payload, self.mode)))
-        self.frames_served += len(slots)
-        return len(slots)
+        idx = np.asarray(p_slots)
+        n = len(p_slots)
+        fields = {"x1": p_echo[:, 0], "x2": p_echo[:, 1]}
+        for key in RESULT_KEYS[self.mode]:
+            fields[key] = np.asarray(out_np[key])[idx].reshape(n, -1)
+        msgs = wire.serialize_results_batch(t, fields, self.mode)
+        for sl, m in zip(p_slots, msgs):
+            if self.ingest.generation(sl) != self._gens[sl]:
+                continue                   # reconnected since dispatch
+            self.ingest.send(sl, m)
+        self.frames_served += n
+        self.tick_stats["send"] += time.time() - t
+        return len(slots) if slots else 0
 
     def serve_forever(self):
         period = 1.0 / self.arena.cfg.frame_hz
@@ -139,12 +181,15 @@ def main(argv: Optional[list] = None):
         from vap_realtime_tpu.weights.convert import load_torch_checkpoint
         params = load_torch_checkpoint(args.vap_model, args.cpc_model)
 
+    import numpy as _np
     arena = StreamArena(cfg, params, capacity=args.capacity,
                         path=args.engine_path,
                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                         attend_impl=args.attend_impl,
                         slots=args.slots,
-                        quant_cache=args.quant_cache)
+                        quant_cache=args.quant_cache,
+                        wire_dtype=_np.int16 if args.wire_int16
+                        else _np.float32)
     arena.warmup()
     server = NativeVapServer(arena, mode=args.mode, port=args.port,
                              wire_int16=args.wire_int16)
