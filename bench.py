@@ -24,8 +24,11 @@ Env knobs:
   BENCH_BATCHES=4096[,8192]     batch sizes to sweep
   BENCH_VARIANTS=fast_pallas_bf16[,kv_bf16,...]   variants to run
   BENCH_GRID=grid.json          ALSO run the pinned regression matrix
-                                ({10,20,50} Hz x {kv,full} x
-                                {vap,bc,nod}) and write it as JSON
+                                ({10,20,50} Hz x {faststaged_pallas,
+                                fasthybrid_pallas} x {vap,bc,nod} at
+                                serving batch) and write it as JSON
+                                (BENCH_GRID_PATHS / BENCH_GRID_BATCH
+                                override)
   BENCH_PROFILE=dir             write a TensorBoard trace
 """
 
@@ -101,8 +104,9 @@ def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
 def variant(name: str):
     """name -> (step_fn, init_fn, chunk_kind, dtype).
 
-    Names: {full,kv,kvstream,fast,faststream,hybrid}[_pallas|_grouped]
-    [_q8]_{f32,bf16}; "q8" = int8 KV cache with per-row dequant scales.
+    Names: {full,kv,kvstream,kvstaged,fast,fastblk,faststream,
+    faststaged,hybrid,fasthybrid}[_pallas|_pallas3|_grouped][_q8]_
+    {f32,bf16}; "q8" = int8 KV cache with per-row dequant scales.
     chunk_kind: "frame" (16000//hz + 320) or "shift" (16000//hz).
     """
     from vap_realtime_tpu.runtime.incremental import (

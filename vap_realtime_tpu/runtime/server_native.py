@@ -151,11 +151,12 @@ def main(argv: Optional[list] = None):
                     default="kv")
     ap.add_argument("--slots", choices=["stream", "global", "staged"],
                     default="staged",
-                    help="KV write-slot policy: 'stream' = exact "
-                         "interleave invariance under jittery traffic "
-                         "(default); 'global' = cheapest write (+27%% "
-                         "throughput, PERF.md r3) for cohorts that "
-                         "tick together")
+                    help="KV write-slot policy: 'staged' (default) = "
+                         "exact per-stream isolation at global-slot "
+                         "cost; 'stream' = per-frame scatter (same "
+                         "contract, slower); 'global' = scalar-slot "
+                         "write for cohorts that tick together "
+                         "(PERF.md r4)")
     ap.add_argument("--quant_cache", action="store_true",
                     help="int8 KV cache (half HBM traffic, 2x stream "
                          "capacity, ~2e-5 output deviation)")
