@@ -198,9 +198,37 @@ def cpc_conv_stack_streaming_blocked(params: Params, new: jax.Array,
 
     State layout is shared with the NCW path ((B, C_in, k-s) carries).
     """
-    x = new[:, :, None]                               # (B, L, 1)
     new_state: Params = {}
+
+    def norm_relu_last(y, n):
+        # single-stats-pass unbiased ChannelNorm over the channel axis
+        # (= last dim here); see ops/basic.channel_norm
+        C = y.shape[-1]
+        s1 = jnp.sum(y, axis=-1, keepdims=True)
+        s2 = jnp.sum(jnp.square(y), axis=-1, keepdims=True)
+        mean = s1 / C
+        var = jnp.maximum((s2 - C * jnp.square(mean)) / (C - 1), 0.0)
+        y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+        y = y * n["w"][:, 0] + n["b"][:, 0]
+        return jax.nn.relu(y)
+
+    # layer 0 stays an NCW XLA conv: its channels-last form would put
+    # C_in = 1 on the LANE dim, and TPU pads every lane tile to 128 —
+    # a 128x memory blowup on the longest activation (the in-step
+    # blocked stack measured 97.7 ms vs 6.9 before this split; the
+    # one (B, 160, 256) transpose below is ~0.3 ms)
+    k0, s0, _ = CPC_CONV_SPECS[0]
+    xc0 = jnp.concatenate([state["c0"].astype(new.dtype),
+                           new[:, None, :]], axis=-1)     # (B, 1, L0)
+    new_state["c0"] = xc0[..., xc0.shape[-1] - (k0 - s0):]
+    c0, n0 = params["conv0"], params["norm0"]
+    y0 = conv1d(xc0, c0["w"], c0["b"], stride=s0, padding=0)
+    y0 = jnp.swapaxes(y0, 1, 2).astype(jnp.float32)       # (B, T0, C)
+    x = norm_relu_last(y0, n0).astype(new.dtype)
+
     for i, (k, s, _pad) in enumerate(CPC_CONV_SPECS):
+        if i == 0:
+            continue
         assert k == 2 * s, "blocked formulation assumes kernel = 2*stride"
         carry = jnp.swapaxes(state[f"c{i}"], 1, 2)    # (B, k-s, C_in)
         xc = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
@@ -218,21 +246,19 @@ def cpc_conv_stack_streaming_blocked(params: Params, new: jax.Array,
         # r3's version shifted the (s*C_in)-wide INPUT slices instead,
         # which XLA materialized as two near-full copies of the widest
         # activation (the 16.4 ms negative in PERF.md r3).
-        z0 = jnp.einsum("bjc,co->bjo", xb, w0,
-                        preferred_element_type=jnp.float32)
-        z1 = jnp.einsum("bjc,co->bjo", xb, w1,
-                        preferred_element_type=jnp.float32)
+        # explicit 2-D dot_general: the 3-D einsum form let XLA assign
+        # B-minormost layouts to the whole chain and lower the matmuls
+        # as (20x slower) fusions instead of MXU dots (r4 trace)
+        xb2 = xb.reshape(B * n_blk, s * Cin)
+        dn = (((1,), (0,)), ((), ()))
+        z0 = jax.lax.dot_general(
+            xb2, w0, dn,
+            preferred_element_type=jnp.float32).reshape(B, n_blk, -1)
+        z1 = jax.lax.dot_general(
+            xb2, w1, dn,
+            preferred_element_type=jnp.float32).reshape(B, n_blk, -1)
         y = z0[:, :n_out] + z1[:, 1:] + c["b"].astype(jnp.float32)
-        # single-stats-pass unbiased ChannelNorm over the channel axis
-        # (= last dim here); see ops/basic.channel_norm
-        C = y.shape[-1]
-        s1 = jnp.sum(y, axis=-1, keepdims=True)
-        s2 = jnp.sum(jnp.square(y), axis=-1, keepdims=True)
-        mean = s1 / C
-        var = jnp.maximum((s2 - C * jnp.square(mean)) / (C - 1), 0.0)
-        y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
-        y = y * n["w"][:, 0] + n["b"][:, 0]
-        x = jax.nn.relu(y).astype(xc.dtype)
+        x = norm_relu_last(y, n).astype(xc.dtype)
     return x, new_state                               # (B, L/160, C)
 
 
