@@ -435,7 +435,7 @@ def fused_attend_pair(cache: jax.Array, q2: jax.Array, k_cur2: jax.Array,
                       stage_age: jax.Array | None = None,
                       stage_scale: jax.Array | None = None,
                       *, pair_base: int,
-                      num_heads: int = 4, block: int = 16,
+                      num_heads: int = 4, block: int = 8,
                       interpret: bool = False,
                       impl: str = "bcast") -> jax.Array:
     """TWO single-query attentions (the independent channel/tower twins of
