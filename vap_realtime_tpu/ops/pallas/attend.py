@@ -121,25 +121,36 @@ def _attend_math(q, k, v, kc, vc, age, *, H: int, out_dtype,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
     m = jnp.exp2(-8.0 * ((lane // Dh).astype(f32) + 1.0) / H) * LOG2E
 
-    # scores over cached rows: P = q*k elementwise, head-summed by M
-    P = k * q[:, None, :]                                  # (Bb, T, D)
-    s = jax.lax.dot_general(
-        P.reshape(Bb * T, D), M,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32).reshape(Bb, T, D)      # broadcast
+    # scores over cached rows, head-summed by M.  In the unquantized
+    # case the s_cur shift FOLDS INTO the matmul (M is linear):
+    # ((k - k_cur) * q) @ M == s - s_cur — the current-position matmul
+    # and the (Bb, T, D) broadcast subtract both vanish.  With an int8
+    # cache the dequant scale applies to the cached score only, so the
+    # explicit form stays.
     if row_scale is not None:
+        P = k * q[:, None, :]                              # (Bb, T, D)
+        s = jax.lax.dot_general(
+            P.reshape(Bb * T, D), M,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32).reshape(Bb, T, D)  # broadcast
         s = s * row_scale[:, :, None]      # per-row int8 dequant
-
-    # current position (age 0, bias 0)
-    Pc = kc * q                                            # (Bb, D)
-    s_cur = jax.lax.dot_general(
-        Pc, M, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32)                        # (Bb, D)
+        Pc = kc * q                                        # (Bb, D)
+        s_cur = jax.lax.dot_general(
+            Pc, M, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                    # (Bb, D)
+        arg = s - age[:, :, None] * m - s_cur[:, None, :]
+    else:
+        P = (k - kc[:, None, :]) * q[:, None, :]           # (Bb, T, D)
+        s_shift = jax.lax.dot_general(
+            P.reshape(Bb * T, D), M,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32).reshape(Bb, T, D)  # s - s_cur
+        s_cur = None
+        arg = s_shift - age[:, :, None] * m
 
     # dead rows carry age = DEAD (1e9): the -age*m_h bias is <= -5.6e6,
     # so exp2 underflows to exactly 0 — no boolean mask needed (Mosaic
     # cannot insert minor dims on i1).
-    arg = s - age[:, :, None] * m - s_cur[:, None, :]
     w = jnp.exp2(jnp.minimum(arg, 86.0))                   # (Bb, T, D)
     denom = jnp.sum(w, axis=1) + 1.0                       # (Bb, D)
 
@@ -158,14 +169,21 @@ def _attend_math(q, k, v, kc, vc, age, *, H: int, out_dtype,
             k_st = k_st.astype(q.dtype)
             v_st = v_st.astype(q.dtype)
         S = k_st.shape[0]
-        P2 = k_st * q[None, :, :]                          # (S, Bb, D)
-        s2 = jax.lax.dot_general(
-            P2.reshape(S * Bb, D), M,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32).reshape(S, Bb, D)
-        if st_scale is not None:
+        if st_scale is not None:        # quantized: explicit s_cur form
+            P2 = k_st * q[None, :, :]                      # (S, Bb, D)
+            s2 = jax.lax.dot_general(
+                P2.reshape(S * Bb, D), M,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32).reshape(S, Bb, D)
             s2 = s2 * st_scale
-        arg2 = s2 - age_st.astype(f32) * m - s_cur[None, :, :]
+            arg2 = s2 - age_st.astype(f32) * m - s_cur[None, :, :]
+        else:                           # same s_cur fold as the ring
+            P2 = (k_st - kc[None, :, :]) * q[None, :, :]
+            s2 = jax.lax.dot_general(
+                P2.reshape(S * Bb, D), M,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32).reshape(S, Bb, D)
+            arg2 = s2 - age_st.astype(f32) * m
         w2 = jnp.exp2(jnp.minimum(arg2, 86.0))             # (S, Bb, D)
         denom = denom + jnp.sum(w2, axis=0)
         if st_scale is not None:
