@@ -357,6 +357,13 @@ uint32_t vap_ingest_gen(void *h, int slot) {
 
 int vap_ingest_active(void *h) { return ((Engine *)h)->n_active.load(); }
 
+// All slots' generation counters in one call (out: capacity uint32s).
+void vap_ingest_gens(void *h, uint32_t *out) {
+  Engine *e = (Engine *)h;
+  for (int i = 0; i < e->capacity; i++)
+    out[i] = e->slots[i].gen.load(std::memory_order_acquire);
+}
+
 // Drain ONE ready frame per slot that has any: frames_out must hold
 // capacity*2*frame_samples floats (slot-major); slots_out receives the
 // slot ids.  Returns count.  Call repeatedly to drain deeper backlogs
@@ -409,6 +416,27 @@ int vap_ingest_send(void *h, int slot, const uint8_t *data, int len) {
   std::lock_guard<std::mutex> g(s.out_mu);
   s.outbuf.insert(s.outbuf.end(), data, data + len);
   return len;
+}
+
+// Queue one equal-length payload per slot in ONE call: data is n
+// back-to-back `len`-byte payloads, slots[i] their targets.  Python's
+// per-slot ctypes send loop costs ~25 us/result (~100 ms/tick at 4096
+// streams); this is a native memcpy loop.  Returns #queued.
+int vap_ingest_send_batch(void *h, const int *slots, int n,
+                          const uint8_t *data, int len) {
+  Engine *e = (Engine *)h;
+  int q = 0;
+  for (int i = 0; i < n; i++) {
+    int slot = slots[i];
+    if (slot < 0 || slot >= e->capacity) continue;
+    Slot &s = e->slots[slot];
+    if (!s.active) continue;
+    const uint8_t *p = data + (size_t)i * len;
+    std::lock_guard<std::mutex> g(s.out_mu);
+    s.outbuf.insert(s.outbuf.end(), p, p + len);
+    q++;
+  }
+  return q;
 }
 
 void vap_ingest_destroy(void *h) {

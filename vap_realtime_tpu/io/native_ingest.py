@@ -49,8 +49,15 @@ def _load_lib():
     lib.vap_ingest_send.restype = ctypes.c_int
     lib.vap_ingest_send.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                     ctypes.c_char_p, ctypes.c_int]
+    lib.vap_ingest_send_batch.restype = ctypes.c_int
+    lib.vap_ingest_send_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     lib.vap_ingest_gen.restype = ctypes.c_uint32
     lib.vap_ingest_gen.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.vap_ingest_gens.restype = None
+    lib.vap_ingest_gens.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_uint32)]
     lib.vap_ingest_destroy.argtypes = [ctypes.c_void_p]
     return lib
 
@@ -117,6 +124,33 @@ class NativeIngest:
             return -1
         return self._lib.vap_ingest_send(self._h, slot, payload,
                                          len(payload))
+
+    def generations(self) -> np.ndarray:
+        """All slots' generation counters in ONE native call (the
+        per-slot accessor costs a ctypes round trip each)."""
+        out = np.zeros((self.capacity,), np.uint32)
+        if self._h:
+            self._lib.vap_ingest_gens(
+                self._h,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        return out
+
+    def send_batch(self, slots: np.ndarray, payloads: np.ndarray) -> int:
+        """Queue one equal-length payload per slot in ONE native call.
+
+        slots: (n,) int32 (negative = skip); payloads: (n, L) uint8
+        C-contiguous — one framed result per row (see
+        wire.serialize_results_batch(as_matrix=True))."""
+        if not self._h or len(slots) == 0:
+            return 0
+        slots = np.ascontiguousarray(slots, np.int32)
+        payloads = np.ascontiguousarray(payloads, np.uint8)
+        return int(self._lib.vap_ingest_send_batch(
+            self._h,
+            slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            len(slots),
+            payloads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            payloads.shape[1]))
 
     def generation(self, slot: int) -> int:
         """Per-slot allocation counter — compare across polls to detect

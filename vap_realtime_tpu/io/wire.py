@@ -113,7 +113,7 @@ def frame_result(payload: bytes) -> bytes:
 
 
 def serialize_results_batch(t: float, fields: Dict[str, np.ndarray],
-                            mode: str = "vap") -> List[bytes]:
+                            mode: str = "vap", as_matrix: bool = False):
     """Vectorized serialize_result + frame_result for a BATCH of
     results with identical field shapes.
 
@@ -145,6 +145,8 @@ def serialize_results_batch(t: float, fields: Dict[str, np.ndarray],
         off += 4
         buf[:, off:off + 8 * k] = c.view(np.uint8).reshape(n, 8 * k)
         off += 8 * k
+    if as_matrix:
+        return buf        # (n, total) uint8 — for NativeIngest.send_batch
     return [buf[i].tobytes() for i in range(n)]
 
 

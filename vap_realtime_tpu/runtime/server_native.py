@@ -66,17 +66,15 @@ class NativeVapServer:
         Returns #streams served (dispatched) this tick."""
         slots, frames = self.ingest.poll()
         t0 = time.time()
+        gens_now = self.ingest.generations()      # one native call
         if slots:
-            fresh = []
-            for sl in slots:
-                gen = self.ingest.generation(sl)
-                if gen != self._gens[sl]:
-                    fresh.append(sl)
-                    self._gens[sl] = gen
-            if fresh:
+            sarr = np.asarray(slots)
+            fresh = sarr[gens_now[sarr] != self._gens[sarr]]
+            if len(fresh):
                 # ONE batched reset — per-slot calls pay a device round
                 # trip each (a connection ramp carries thousands/tick)
-                self.arena.reset_slots(fresh)
+                self.arena.reset_slots(fresh.tolist())
+                self._gens[fresh] = gens_now[fresh]
             chunks = {sl: frames[sl] for sl in slots}
             out_dev = self.arena.step_device(chunks)
             pad = self._pad
@@ -102,11 +100,13 @@ class NativeVapServer:
         fields = {"x1": p_echo[:, 0], "x2": p_echo[:, 1]}
         for key in RESULT_KEYS[self.mode]:
             fields[key] = np.asarray(out_np[key])[idx].reshape(n, -1)
-        msgs = wire.serialize_results_batch(t, fields, self.mode)
-        for sl, m in zip(p_slots, msgs):
-            if self.ingest.generation(sl) != self._gens[sl]:
-                continue                   # reconnected since dispatch
-            self.ingest.send(sl, m)
+        buf = wire.serialize_results_batch(t, fields, self.mode,
+                                           as_matrix=True)
+        # rows whose connection was reused since dispatch are skipped
+        # via a negative slot id (one native call queues everything)
+        tgt = np.where(gens_now[idx] == self._gens[idx], idx,
+                       -1).astype(np.int32)
+        self.ingest.send_batch(tgt, buf)
         self.frames_served += n
         self.tick_stats["send"] += time.time() - t
         return len(slots) if slots else 0
