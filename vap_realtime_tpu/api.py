@@ -99,7 +99,10 @@ class Vap:
                  params: Optional[dict] = None,
                  engine_path: str = "kv",
                  cache_dir: Optional[str] = None,
-                 force_download: bool = False):
+                 force_download: bool = False,
+                 **engine_kwargs):
+        """engine_kwargs pass through to VapEngine (e.g. dtype,
+        attend_impl, slots, quant_cache)."""
         head_mode = {"vap": "vap", "vap_MC": "vap", "bc": "bc",
                      "nod": "nod"}[mode]
         cfg = VapConfig(frame_hz=frame_rate,
@@ -111,7 +114,7 @@ class Vap:
         self.engine = VapEngine(cfg, params=params,
                                 vap_model=vap_model, cpc_model=cpc_model,
                                 checkpoint_npz=checkpoint_npz,
-                                path=engine_path)
+                                path=engine_path, **engine_kwargs)
         self.mode = mode
         self.mic1 = mic1
         self.mic2 = mic2
