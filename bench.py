@@ -175,11 +175,12 @@ def variant(name: str):
         return step, functools.partial(init_hybrid_state, quant=quant), \
             "frame", dtype
     if path == "fasthybrid":
+        # staged incr branch (the serving default; init staged=True)
         def step(p, s, c, cfg):
             return fast_hybrid_step(p, s, c, cfg,
                                     resync_every=cfg.context_frames,
                                     attend_impl=attend)
-        return step, functools.partial(init_fast_hybrid_state,
+        return step, functools.partial(init_fast_hybrid_state, staged=True,
                                        quant=quant), "shift", dtype
     raise ValueError(name)
 

@@ -423,6 +423,36 @@ def test_staged_slots_quantized():
     assert d_s < 2e-5, d_s
 
 
+@pytest.mark.parametrize("impl", ["einsum", "pallas"])
+def test_staged_hybrid_matches_unstaged(impl):
+    """Hybrid with a staged KV state (the serving default) == hybrid
+    with the per-frame 'stream' scatter, frame by frame — including
+    resync frames, where the stage must be invalidated (a staged row
+    and its ring rewrite share a stamp and would attend twice)."""
+    import functools
+
+    from vap_realtime_tpu.runtime.incremental import hybrid_step
+
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    params = synthetic_params(frame_hz=20)
+    audio = synthetic_audio(16000 * 2)
+    frames = frame_audio(audio, cfg)[:, None]
+    N = 6  # resync cadence; not a multiple of STAGE_S so phases differ
+
+    step = jax.jit(functools.partial(hybrid_step, cfg=cfg,
+                                     resync_every=N, attend_impl=impl))
+    st_u = init_hybrid_state(cfg, 1)
+    st_s = init_hybrid_state(cfg, 1, staged=True)
+    for f in range(frames.shape[0]):
+        st_u, out_u = step(params, st_u, jnp.asarray(frames[f]))
+        st_s, out_s = step(params, st_s, jnp.asarray(frames[f]))
+        np.testing.assert_allclose(
+            np.asarray(out_s["p_now"]), np.asarray(out_u["p_now"]),
+            atol=2e-5, err_msg=f"frame {f}")
+        if (f + 1) % N == 0:  # post-resync: stage fully invalidated
+            assert (np.asarray(st_s.kv.stage_stamp) == -1).all()
+
+
 def test_int8_hybrid_cache_tracks_bf16():
     """Hybrid path + quantized cache: the resync branch must keep the
     LSTM/ring state in the compute dtype, NOT the int8 cache dtype

@@ -148,7 +148,7 @@ class StreamArena:
             n = resync_every if resync_every is not None \
                 else cfg.context_frames
             self.state = incremental.init_fast_hybrid_state(
-                cfg, capacity, dtype, quant_cache)
+                cfg, capacity, dtype, quant_cache, staged)
             step_fn = lambda p, st, ch, act: \
                 incremental.fast_hybrid_step(p, st, ch, cfg, act, n,
                                              attend_impl)
@@ -156,7 +156,7 @@ class StreamArena:
             n = resync_every if resync_every is not None \
                 else cfg.context_frames
             self.state = incremental.init_hybrid_state(cfg, capacity, dtype,
-                                                       quant_cache)
+                                                       quant_cache, staged)
             step_fn = lambda p, st, ch, act: incremental.hybrid_step(
                 p, st, ch, cfg, act, n)
         elif path == "kv":

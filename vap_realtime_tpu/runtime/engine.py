@@ -116,7 +116,8 @@ class VapEngine:
 
             self._step = jax.jit(_hstep, static_argnums=3)
             self.state = incremental.init_hybrid_state(self.cfg, batch,
-                                                       dtype, quant_cache)
+                                                       dtype, quant_cache,
+                                                       staged)
         elif path == "fast_hybrid":
             n = self.resync_every
 
@@ -126,7 +127,7 @@ class VapEngine:
 
             self._step = jax.jit(_fhstep, static_argnums=3)
             self.state = incremental.init_fast_hybrid_state(
-                self.cfg, batch, dtype, quant_cache)
+                self.cfg, batch, dtype, quant_cache, staged)
         else:
             raise ValueError(
                 f"unknown path {path!r} (use 'kv', 'full', 'hybrid', "

@@ -759,11 +759,13 @@ class HybridState:
 
 
 def init_hybrid_state(cfg: VapConfig, batch: int = 1,
-                      dtype=jnp.float32,
-                      quant: bool = False) -> HybridState:
+                      dtype=jnp.float32, quant: bool = False,
+                      staged: bool = False) -> HybridState:
+    """staged=True: the incremental branch uses the staged slot policy
+    (exact "stream" semantics at global-slot cost; PERF.md r4)."""
     D, T = cfg.dim, cfg.context_frames
     return HybridState(
-        kv=init_kv_state(cfg, batch, dtype, quant),
+        kv=init_kv_state(cfg, batch, dtype, quant, staged),
         e_ctx=jnp.zeros((batch, 2, T, D), dtype),
     )
 
@@ -905,9 +907,12 @@ def _hybrid_core(params: Params, kv: KVState, e_ctx_prev: jax.Array,
     rolled = jnp.roll(e_ctx_prev, -1, axis=2).at[:, :, -1, :].set(e)
     e_ctx = jnp.where(active[:, None, None, None], rolled, e_ctx_prev)
 
+    staged_kv = kv.stage.ndim == 3
+
     def incr(_):
-        kv2, outs = _kv_core(params, kv, e, h_new, c_new, cfg,
-                             active, "stream", attend_impl)
+        kv2, outs = _kv_core(params, kv, e, h_new, c_new, cfg, active,
+                             "staged" if staged_kv else "stream",
+                             attend_impl)
         return kv2, outs
 
     def resync(_):
@@ -935,8 +940,13 @@ def _hybrid_core(params: Params, kv: KVState, e_ctx_prev: jax.Array,
             count=count2,
             stamp=stamp2,
             step=kv.step + 1,
-            stage=kv.stage,                 # hybrid paths never stage
-            stage_stamp=kv.stage_stamp,
+            stage=kv.stage,
+            # resync rewrote EVERY row into the ring — staged rows must
+            # be invalidated or they would attend TWICE (a staged row
+            # and its ring rewrite share a stamp)
+            stage_stamp=(jnp.full_like(kv.stage_stamp, -1)
+                         if kv.stage_stamp.ndim == 2
+                         else kv.stage_stamp),
             stage_scale=kv.stage_scale,
         )
         return kv2, probs
@@ -972,13 +982,13 @@ class FastHybridState:
 
 
 def init_fast_hybrid_state(cfg: VapConfig, batch: int = 1,
-                           dtype=jnp.float32,
-                           quant: bool = False) -> FastHybridState:
+                           dtype=jnp.float32, quant: bool = False,
+                           staged: bool = False) -> FastHybridState:
     from vap_realtime_tpu.models.encoder import init_conv_stream_state
 
     D, T = cfg.dim, cfg.context_frames
     return FastHybridState(
-        kv=init_kv_state(cfg, batch, dtype, quant),
+        kv=init_kv_state(cfg, batch, dtype, quant, staged),
         conv=init_conv_stream_state(batch * 2, cfg.encoder_dim, dtype),
         e_ctx=jnp.zeros((batch, 2, T, D), dtype),
     )
