@@ -530,3 +530,17 @@ def test_int8_fast_arena_interleave():
     solo = run(jitter=False)
     jittery = run(jitter=True)
     np.testing.assert_allclose(jittery, solo[:len(jittery)], atol=2e-5)
+
+
+def test_staged_rejects_tiny_context():
+    """STAGE_S staged stamps must be distinct mod context_frames; a
+    context shorter than the stage would silently corrupt the ring, so
+    state construction fails loudly instead (ADVICE r4)."""
+    import pytest as _pytest
+
+    from vap_realtime_tpu.runtime.incremental import STAGE_S
+
+    cfg = VapConfig(frame_hz=10, context_len_sec=0.5)  # T=5 < STAGE_S
+    assert cfg.context_frames < STAGE_S
+    with _pytest.raises(ValueError, match="staged"):
+        init_kv_state(cfg, 1, staged=True)

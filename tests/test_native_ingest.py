@@ -301,3 +301,70 @@ def test_native_server_end_to_end(lib):
         np.testing.assert_allclose(a["p_now"], b["p_now"], atol=5e-4)
     assert len(r1[0]["x1"]) == cfg.frame_shift
     np.testing.assert_allclose(r1[0]["x1"], audio[0, :800], atol=1e-6)
+
+
+def test_stale_result_skipped_on_same_tick_reuse(monkeypatch):
+    """A slot disconnected and REUSED between dispatch and send must not
+    receive the previous connection's pending result (cross-stream
+    leak).  The skip check compares against the dispatch-time generation
+    snapshot, not self._gens (which the same tick's reuse handling has
+    already advanced).  Pure-Python stubs; no native lib needed."""
+    import vap_realtime_tpu.runtime.server_native as sn
+
+    S = 800
+
+    class StubIngest:
+        def __init__(self, port, capacity, frame_samples, wire_int16,
+                     overlap=0, emit_i16=False):
+            self.port = 0
+            self.script = []          # (slots, gens) per tick
+            self.sent = []            # recorded (tgt, buf)
+            self.frames = np.zeros((capacity, 2, S), np.float32)
+
+        def poll(self):
+            slots, _ = self.script[0]
+            return slots, self.frames
+
+        def generations(self):
+            _, gens = self.script.pop(0)
+            return np.asarray(gens, np.int64)
+
+        def send_batch(self, tgt, buf):
+            self.sent.append((np.asarray(tgt).copy(), buf))
+
+        def close(self):
+            pass
+
+    class StubArena:
+        capacity = 2
+        chunk_samples = S
+        path = "fast"
+        wire_dtype = np.float32
+        resets: list = []
+
+        def reset_slots(self, slots):
+            self.resets.append(list(slots))
+
+        def step_device(self, chunks):
+            return {k: np.zeros((self.capacity, 4))
+                    for k in ("p_now", "p_future", "vad")}
+
+    monkeypatch.setattr(sn, "NativeIngest", StubIngest)
+    srv = sn.NativeVapServer(StubArena(), mode="vap", port=0)
+
+    # tick 1: slot 0 (gen 1) dispatched; nothing pending yet
+    srv.ingest.script = [([0], [1, 0]),
+                         # tick 2: slot 0 reused (gen 2) in the SAME
+                         # tick that ships tick 1's result
+                         ([0], [2, 0]),
+                         # tick 3: ships tick 2's (gen-2) result
+                         ([0], [2, 0])]
+    srv.tick()
+    assert not srv.ingest.sent
+    srv.tick()
+    # the gen-1 result must be dropped (tgt == -1), not sent to gen 2
+    assert len(srv.ingest.sent) == 1
+    assert srv.ingest.sent[0][0].tolist() == [-1]
+    srv.tick()
+    # the gen-2 connection's own result IS delivered
+    assert srv.ingest.sent[1][0].tolist() == [0]

@@ -61,10 +61,10 @@ class VapEngine:
         self.quant_cache = quant_cache
         self.resync_every = (resync_every if resync_every is not None
                              else self.cfg.context_frames)
-        # KV write-slot policy (see incremental.KVState): defaults keep
-        # the per-path r3 behavior ("stream" on kv, "global" on fast);
-        # "staged" has exact "stream" semantics at an amortized write
-        # cost (frame-major stage + one S-row merge scatter per S ticks)
+        # KV write-slot policy (see incremental.KVState): since r4 every
+        # kv-family path defaults to "staged" — exact "stream" semantics
+        # (per-stream isolation) at amortized global-slot write cost
+        # (frame-major stage + one S-row merge scatter per S ticks)
         if slots is None:
             # "staged" = exact per-stream isolation (same contract as
             # "stream") at global-slot cost (PERF.md r4)

@@ -226,6 +226,13 @@ def init_kv_state(cfg: VapConfig, batch: int = 1,
     n = len(cache_layout(cfg))
     P = n // 4
     S = STAGE_S
+    if staged and S > T:
+        # the merge scatter targets stamp % T and relies on the S staged
+        # stamps being distinct mod T; S > T (context_len_sec*frame_hz
+        # < S) would silently corrupt the ring via colliding targets
+        raise ValueError(
+            f"staged slots need context_frames >= {S} (got {T}); use "
+            f"slots='stream' for tiny-context configs")
     return KVState(
         cache=jnp.zeros((batch, P, T, 4 * D),
                         jnp.int8 if quant else dtype),

@@ -17,6 +17,7 @@ import argparse
 import time
 from typing import Optional
 
+import jax
 import numpy as np
 
 from vap_realtime_tpu.config import FRAME_CONTEXT_PADDING, VapConfig
@@ -81,7 +82,12 @@ class NativeVapServer:
             sc = (1.0 / 32768.0) if self._i16 else 1.0
             # vectorized audio echo for the result payloads: (n, 2, L')
             echo = frames[np.asarray(slots)][:, :, pad:] * sc
-            prev, self._pending = self._pending, (slots, echo, out_dev)
+            # snapshot each dispatched slot's generation NOW: the
+            # stale-result check at send time must compare against the
+            # generation the result was computed FOR, not against
+            # self._gens (which a same-tick reuse already advanced)
+            prev, self._pending = self._pending, (
+                slots, echo, out_dev, gens_now[sarr].copy())
             self.tick_stats["n"] += 1
         else:
             prev, self._pending = self._pending, None
@@ -89,9 +95,7 @@ class NativeVapServer:
         self.tick_stats["dispatch"] += t1 - t0
         if prev is None:
             return len(slots) if slots else 0
-        p_slots, p_echo, p_out = prev
-        import jax
-
+        p_slots, p_echo, p_out, p_gens = prev
         out_np = jax.device_get(p_out)    # ONE batched readback
         self.tick_stats["fetch"] += time.time() - t1
         t = time.time()
@@ -103,8 +107,11 @@ class NativeVapServer:
         buf = wire.serialize_results_batch(t, fields, self.mode,
                                            as_matrix=True)
         # rows whose connection was reused since dispatch are skipped
-        # via a negative slot id (one native call queues everything)
-        tgt = np.where(gens_now[idx] == self._gens[idx], idx,
+        # via a negative slot id (one native call queues everything);
+        # compare against the dispatch-time snapshot so a slot that was
+        # disconnected + reused THIS tick never receives the previous
+        # connection's result (cross-stream leak otherwise)
+        tgt = np.where(gens_now[idx] == p_gens, idx,
                        -1).astype(np.int32)
         self.ingest.send_batch(tgt, buf)
         self.frames_served += n
