@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--per_device_batch", type=int, default=4)
     ap.add_argument("--streams_per_device", type=int, default=64)
     ap.add_argument("--seconds", type=float, default=5.0)
+    ap.add_argument("--out", default=None,
+                    help="write a JSON artifact (rows + environment note)")
     args = ap.parse_args()
 
     from vap_realtime_tpu.config import VapConfig
@@ -66,6 +68,7 @@ def main():
     print(f"{'n_dev':>5} {'train ms':>10} {'train eff':>10} "
           f"{'serve ms':>10} {'serve eff':>10}")
     base_train = base_serve = None
+    rows = []
     for n in [int(x) for x in args.devices.split(",") if int(x) <= avail]:
         mesh = make_mesh(n)
         params = replicate(mesh, params0)
@@ -99,6 +102,48 @@ def main():
         eff_s = base_serve / t_serve
         print(f"{n:>5} {t_train*1e3:>10.1f} {eff_t:>9.1%} "
               f"{t_serve*1e3:>10.1f} {eff_s:>9.1%}")
+        rows.append({
+            "n_devices": n,
+            "train_ms": round(t_train * 1e3, 1),
+            "serve_ms": round(t_serve * 1e3, 1),
+            # real-hardware metric: constant per-device work => flat time
+            "train_eff_flat_time": round(eff_t, 4),
+            "serve_eff_flat_time": round(eff_s, 4),
+            # virtual shared-host metric: N virtual devices time-share one
+            # CPU, so ideal time is N*t1; deviation = sharding/collective
+            # overhead of the dp program itself
+            "train_overhead_vs_shared_ideal": round(
+                t_train / (n * base_train) - 1.0, 4),
+            "serve_overhead_vs_shared_ideal": round(
+                t_serve / (n * base_serve) - 1.0, 4),
+        })
+
+    if args.out:
+        import json
+        art = {
+            "tool": "tools/scaling_sweep.py",
+            "platform": jax.default_backend(),
+            "n_devices_available": avail,
+            "per_device_batch": args.per_device_batch,
+            "streams_per_device": args.streams_per_device,
+            "rows": rows,
+            "environment_note": (
+                "Run on jax's virtual CPU mesh "
+                "(xla_force_host_platform_device_count): the N virtual "
+                "devices TIME-SHARE one physical host, so wall time grows "
+                "~N-fold by construction and the flat-time efficiency "
+                "column is NOT a hardware scaling measurement.  The "
+                "meaningful virtual-mesh number is "
+                "*_overhead_vs_shared_ideal: how much slower the sharded "
+                "program runs than N*t1 — the sharding + collective "
+                "overhead of the dp program (BASELINE.md deliverable; "
+                "reference DDP anchor train/train.py:316-321).  On real "
+                "multi-chip hardware rerun this tool as-is for the true "
+                "sweep; this environment exposes a single TPU chip."),
+        }
+        with open(args.out, "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
