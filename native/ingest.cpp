@@ -24,8 +24,11 @@
 #include <arpa/inet.h>
 #include <atomic>
 #include <cerrno>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <deque>
+#include <memory>
 #include <mutex>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
@@ -68,6 +71,25 @@ struct Slot {
   std::atomic<uint32_t> gen{0};
 };
 
+// One tick's deferred result build+send work (vap_ingest_send_results):
+// the echo audio and probability rows are snapshotted at call time (so
+// the caller's buffers are free immediately) and a dedicated builder
+// thread does the f64 wire serialization + per-slot queueing OVERLAPPED
+// with the caller's next tick — the serialization pass was the largest
+// host-CPU item of the serving tick (~43 ms at 4096 streams, measured
+// with the device stubbed; tools/serving_bench.py --stub_device).
+struct SendJob {
+  std::vector<int32_t> slots;     // n kept targets
+  std::vector<uint32_t> gens;     // dispatch-time generation per target
+  double t = 0.0;
+  int L = 0;                      // echo samples per channel (post-pad)
+  bool i16 = false;               // echo as raw int16 (scale 1/32768)
+  std::vector<int16_t> echo_i;    // (n, 2, L)
+  std::vector<float> echo_f;      // (n, 2, L)
+  std::vector<float> probs;       // (n, P)
+  std::vector<int32_t> cols;      // per-field widths, sum == P
+};
+
 struct Engine {
   int listen_fd = -1;
   int epfd = -1;
@@ -87,6 +109,13 @@ struct Engine {
   std::thread io;
   std::atomic<bool> stop{false};
   std::atomic<int> n_active{0};
+  // result-builder thread (overlapped wire serialization)
+  std::thread builder;
+  std::mutex job_mu;
+  std::condition_variable job_cv;
+  std::deque<std::unique_ptr<SendJob>> jobs;
+  std::atomic<int> jobs_pending{0};        // queued + in-flight
+  std::atomic<int> jobs_dropped{0};        // overload catch-up drops
 
   int alloc_slot(int fd) {
     std::lock_guard<std::mutex> g(mu);
@@ -284,6 +313,81 @@ void io_loop(Engine *e) {
   }
 }
 
+inline void put_u32(uint8_t *p, uint32_t v) { std::memcpy(p, &v, 4); }
+inline void put_d(uint8_t *p, double v) { std::memcpy(p, &v, 8); }
+
+// Serialize one job's rows to the reference result wire format and
+// queue them per connection — byte-identical to
+// wire.serialize_results_batch(as_matrix=True) + frame_result:
+//   u32 payload_len | f64 t | per field: u32 count | f64 data
+// (field order x1, x2, then the mode's probability fields).
+void builder_loop(Engine *e) {
+  while (true) {
+    std::unique_ptr<SendJob> job;
+    {
+      std::unique_lock<std::mutex> lk(e->job_mu);
+      e->job_cv.wait(lk,
+                     [e] { return e->stop.load() || !e->jobs.empty(); });
+      if (e->jobs.empty()) {
+        if (e->stop.load()) return;
+        continue;
+      }
+      job = std::move(e->jobs.front());
+      e->jobs.pop_front();
+    }
+    const int n = (int)job->slots.size();
+    const int L = job->L;
+    int P = 0;
+    for (int c : job->cols) P += c;
+    size_t pay = 8 + 2 * (4 + 8 * (size_t)L);
+    for (int c : job->cols) pay += 4 + 8 * (size_t)c;
+    const size_t total = 4 + pay;
+    std::vector<uint8_t> row(total);
+    put_u32(row.data(), (uint32_t)pay);
+    put_d(row.data() + 4, job->t);
+    for (int i = 0; i < n; i++) {
+      uint8_t *w = row.data() + 12;
+      for (int ch = 0; ch < 2; ch++) {
+        put_u32(w, (uint32_t)L);
+        w += 4;
+        if (job->i16) {
+          const int16_t *src =
+              job->echo_i.data() + ((size_t)i * 2 + ch) * L;
+          for (int k = 0; k < L; k++)
+            put_d(w + 8 * (size_t)k, (double)src[k] * (1.0 / 32768.0));
+        } else {
+          const float *src =
+              job->echo_f.data() + ((size_t)i * 2 + ch) * L;
+          for (int k = 0; k < L; k++)
+            put_d(w + 8 * (size_t)k, (double)src[k]);
+        }
+        w += 8 * (size_t)L;
+      }
+      const float *pr = job->probs.data() + (size_t)i * P;
+      for (int c : job->cols) {
+        put_u32(w, (uint32_t)c);
+        w += 4;
+        for (int k = 0; k < c; k++) put_d(w + 8 * (size_t)k,
+                                          (double)pr[k]);
+        pr += c;
+        w += 8 * (size_t)c;
+      }
+      // deliver only if the connection is still the SAME one the
+      // result was computed for (generation check closes the
+      // dispatch->send reuse race entirely)
+      int sl = job->slots[i];
+      Slot &s = e->slots[sl];
+      if (s.active &&
+          s.gen.load(std::memory_order_acquire) == job->gens[i]) {
+        std::lock_guard<std::mutex> g(s.out_mu);
+        s.outbuf.insert(s.outbuf.end(), row.data(), row.data() + total);
+      }
+    }
+    e->jobs_pending.fetch_sub(1);
+    if (e->wake_w >= 0) (void)!write(e->wake_w, "x", 1);  // drain now
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -343,6 +447,7 @@ void *vap_ingest_create(uint16_t port, int capacity, int frame_samples,
   ev.data.fd = e->listen_fd;
   epoll_ctl(e->epfd, EPOLL_CTL_ADD, e->listen_fd, &ev);
   e->io = std::thread(io_loop, e);
+  e->builder = std::thread(builder_loop, e);
   return e;
 }
 
@@ -418,6 +523,87 @@ int vap_ingest_send(void *h, int slot, const uint8_t *data, int len) {
   return len;
 }
 
+// Snapshot one tick's results and serialize + queue them on the
+// builder thread, OVERLAPPED with the caller's next tick.  slots/gens:
+// n targets and their dispatch-time generations (slot < 0 = skip);
+// frames: the poll buffer base (capacity, 2, frame_samples) in f32 or
+// raw int16 (frames_i16); pad samples of left context are dropped from
+// the echo; probs: (n, P) f32 row-major with ncols field widths
+// summing to P.  The call itself only gathers the kept rows (one
+// memcpy pass); wire bytes match wire.serialize_results_batch exactly.
+int vap_ingest_send_results(void *h, const int32_t *slots,
+                            const uint32_t *gens, int n, double t,
+                            const void *frames, int frames_i16,
+                            int frame_samples, int pad,
+                            const float *probs, int P,
+                            const int32_t *cols, int ncols) {
+  Engine *e = (Engine *)h;
+  auto job = std::unique_ptr<SendJob>(new SendJob());
+  const int L = frame_samples - pad;
+  job->t = t;
+  job->L = L;
+  job->i16 = frames_i16 != 0;
+  job->cols.assign(cols, cols + ncols);
+  job->slots.reserve(n);
+  job->gens.reserve(n);
+  if (job->i16)
+    job->echo_i.reserve((size_t)n * 2 * L);
+  else
+    job->echo_f.reserve((size_t)n * 2 * L);
+  job->probs.reserve((size_t)n * P);
+  for (int i = 0; i < n; i++) {
+    int sl = slots[i];
+    if (sl < 0 || sl >= e->capacity) continue;
+    job->slots.push_back(sl);
+    job->gens.push_back(gens ? gens[i]
+                             : e->slots[sl].gen.load());
+    if (job->i16) {
+      const int16_t *base =
+          (const int16_t *)frames + (size_t)sl * 2 * frame_samples;
+      job->echo_i.insert(job->echo_i.end(), base + pad,
+                         base + frame_samples);
+      job->echo_i.insert(job->echo_i.end(), base + frame_samples + pad,
+                         base + 2 * frame_samples);
+    } else {
+      const float *base =
+          (const float *)frames + (size_t)sl * 2 * frame_samples;
+      job->echo_f.insert(job->echo_f.end(), base + pad,
+                         base + frame_samples);
+      job->echo_f.insert(job->echo_f.end(), base + frame_samples + pad,
+                         base + 2 * frame_samples);
+    }
+    job->probs.insert(job->probs.end(), probs + (size_t)i * P,
+                      probs + (size_t)(i + 1) * P);
+  }
+  int q = (int)job->slots.size();
+  {
+    std::lock_guard<std::mutex> g(e->job_mu);
+    // realtime backpressure: if the builder is >2 ticks behind, drop
+    // the OLDEST queued tick (catch-up semantics, like the ingest
+    // ready-ring) so result latency stays bounded under overload
+    while (e->jobs.size() >= 3) {
+      e->jobs.pop_front();
+      e->jobs_pending.fetch_sub(1);
+      e->jobs_dropped.fetch_add(1);
+    }
+    e->jobs.push_back(std::move(job));
+    e->jobs_pending.fetch_add(1);
+  }
+  e->job_cv.notify_one();
+  return q;
+}
+
+// builder-queue depth (jobs snapshotted but not yet serialized) — a
+// backpressure signal for the serving loop
+int vap_ingest_send_pending(void *h) {
+  return ((Engine *)h)->jobs_pending.load();
+}
+
+// ticks dropped whole by the overload catch-up policy
+int vap_ingest_send_dropped(void *h) {
+  return ((Engine *)h)->jobs_dropped.load();
+}
+
 // Queue one equal-length payload per slot in ONE call: data is n
 // back-to-back `len`-byte payloads, slots[i] their targets.  Python's
 // per-slot ctypes send loop costs ~25 us/result (~100 ms/tick at 4096
@@ -442,6 +628,8 @@ int vap_ingest_send_batch(void *h, const int *slots, int n,
 void vap_ingest_destroy(void *h) {
   Engine *e = (Engine *)h;
   e->stop.store(true);
+  e->job_cv.notify_all();
+  if (e->builder.joinable()) e->builder.join();
   if (e->wake_w >= 0) (void)!write(e->wake_w, "x", 1);
   if (e->io.joinable()) e->io.join();
   for (int sl = 0; sl < e->capacity; sl++) e->free_slot(sl);

@@ -306,9 +306,11 @@ def test_native_server_end_to_end(lib):
 def test_stale_result_skipped_on_same_tick_reuse(monkeypatch):
     """A slot disconnected and REUSED between dispatch and send must not
     receive the previous connection's pending result (cross-stream
-    leak).  The skip check compares against the dispatch-time generation
-    snapshot, not self._gens (which the same tick's reuse handling has
-    already advanced).  Pure-Python stubs; no native lib needed."""
+    leak).  The server must hand the native sender the DISPATCH-TIME
+    generation snapshot, not self._gens (which the same tick's reuse
+    handling has already advanced).  Pure-Python stubs; the native-side
+    generation gate itself is covered by
+    test_send_results_wire_bytes_and_gen_gate."""
     import vap_realtime_tpu.runtime.server_native as sn
 
     S = 800
@@ -318,7 +320,7 @@ def test_stale_result_skipped_on_same_tick_reuse(monkeypatch):
                      overlap=0, emit_i16=False):
             self.port = 0
             self.script = []          # (slots, gens) per tick
-            self.sent = []            # recorded (tgt, buf)
+            self.sent = []            # recorded (slots, gens)
             self.frames = np.zeros((capacity, 2, S), np.float32)
 
         def poll(self):
@@ -329,8 +331,10 @@ def test_stale_result_skipped_on_same_tick_reuse(monkeypatch):
             _, gens = self.script.pop(0)
             return np.asarray(gens, np.int64)
 
-        def send_batch(self, tgt, buf):
-            self.sent.append((np.asarray(tgt).copy(), buf))
+        def send_results(self, slots, gens, t, frames, pad, probs, cols):
+            self.sent.append((np.asarray(slots).copy(),
+                              np.asarray(gens).copy()))
+            return len(slots)
 
         def close(self):
             pass
@@ -345,7 +349,7 @@ def test_stale_result_skipped_on_same_tick_reuse(monkeypatch):
         def reset_slots(self, slots):
             self.resets.append(list(slots))
 
-        def step_device(self, chunks):
+        def step_device_batch(self, frames, slots):
             return {k: np.zeros((self.capacity, 4))
                     for k in ("p_now", "p_future", "vad")}
 
@@ -362,9 +366,62 @@ def test_stale_result_skipped_on_same_tick_reuse(monkeypatch):
     srv.tick()
     assert not srv.ingest.sent
     srv.tick()
-    # the gen-1 result must be dropped (tgt == -1), not sent to gen 2
+    # tick 1's result ships with its DISPATCH generation (1) — the
+    # native gate then drops it because the slot is at gen 2 now
     assert len(srv.ingest.sent) == 1
-    assert srv.ingest.sent[0][0].tolist() == [-1]
+    assert srv.ingest.sent[0][1].tolist() == [1]
     srv.tick()
-    # the gen-2 connection's own result IS delivered
-    assert srv.ingest.sent[1][0].tolist() == [0]
+    assert srv.ingest.sent[1][1].tolist() == [2]
+
+
+def test_send_results_wire_bytes_and_gen_gate(lib):
+    """send_results must (a) deliver bytes IDENTICAL to
+    serialize_results_batch + frame_result, (b) drop rows whose
+    generation doesn't match the slot's current one."""
+    ing = lib(port=0, capacity=4, frame_samples=800, overlap=0)
+    audio = synthetic_audio(1600)
+    with socket.create_connection(("127.0.0.1", ing.port),
+                                  timeout=10) as s:
+        for h in range(5):
+            s.sendall(wire.conv_2floatarray_2_bytearray(
+                audio[0, h * 160:(h + 1) * 160],
+                audio[1, h * 160:(h + 1) * 160]))
+            time.sleep(0.002)
+        slots: list = []
+        deadline = time.time() + 5
+        while not slots and time.time() < deadline:
+            slots, frames = ing.poll()
+            time.sleep(0.002)
+        assert slots
+        sl = slots[0]
+        gen = ing.generation(sl)
+
+        rs = np.random.RandomState(7)
+        probs = rs.rand(1, 6).astype(np.float32)
+        t = 123.456
+        # wrong generation: gated off natively, nothing arrives
+        ing.send_results(np.asarray([sl]), np.asarray([gen + 1]), t,
+                         frames, 0, probs, [2, 2, 2])
+        time.sleep(0.3)
+        s.setblocking(False)
+        try:
+            got = s.recv(16)
+            assert not got, "stale-generation result was delivered"
+        except BlockingIOError:
+            pass
+        s.setblocking(True)
+
+        # right generation: byte-identical to the Python serializer
+        ing.send_results(np.asarray([sl]), np.asarray([gen]), t,
+                         frames, 0, probs, [2, 2, 2])
+        s.settimeout(10)
+        payload = wire.read_framed(s)
+        fields = {"x1": frames[sl:sl + 1, 0].astype("<f8"),
+                  "x2": frames[sl:sl + 1, 1].astype("<f8"),
+                  "p_now": probs[:, 0:2], "p_future": probs[:, 2:4],
+                  "vad": probs[:, 4:6]}
+        expect = wire.serialize_results_batch(t, fields, "vap",
+                                              as_matrix=True)
+        assert (4 + len(payload)) == expect.shape[1]
+        assert payload == expect[0].tobytes()[4:]
+    ing.close()

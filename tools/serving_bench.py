@@ -56,8 +56,19 @@ def main(argv=None):
                     help="int16 wire format (4x lower socket bandwidth)")
     ap.add_argument("--f64-wire", dest="int16", action="store_false")
     ap.add_argument("--quant_cache", action="store_true")
+    ap.add_argument("--stub_device", action="store_true",
+                    help="replace the arena with an instant host stub: "
+                         "measures the HOST wire tick only (ingest + "
+                         "serialization + send) on loopback — no TPU, "
+                         "no relay (VERDICT r4 item 2)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
+
+    if args.stub_device:
+        # never touch the TPU relay from a host-only measurement
+        # (sitecustomize pre-sets axon; setdefault would keep it)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
     loadgen = build_loadgen()
     stream_counts = [int(s) for s in args.streams.split(",")]
@@ -79,15 +90,18 @@ def main(argv=None):
     # is ~20-30 MB/s (vs 16-32 GB/s PCIe on a real TPU host) and is THE
     # cap on socket-path serving here — record it so the result is read
     # in context (a PCIe host moves the same per-tick batch in ~1-2 ms)
-    import jax
     import numpy as np
-    probe = np.random.randn(1024, 2, 800).astype(np.float32)
-    sink = jax.jit(lambda a: jnp.sum(a))
-    _ = float(sink(jax.device_put(probe)))
-    t0 = time.time()
-    for _i in range(3):
+    if args.stub_device:
+        h2d = 0.0
+    else:
+        import jax
+        probe = np.random.randn(1024, 2, 800).astype(np.float32)
+        sink = jax.jit(lambda a: jnp.sum(a))
         _ = float(sink(jax.device_put(probe)))
-    h2d = probe.nbytes * 3 / (time.time() - t0)
+        t0 = time.time()
+        for _i in range(3):
+            _ = float(sink(jax.device_put(probe)))
+        h2d = probe.nbytes * 3 / (time.time() - t0)
 
     report = {"config": {
         "host_to_device_MBps": round(h2d / 1e6, 1),
@@ -95,23 +109,61 @@ def main(argv=None):
         "slots": args.slots, "mode": args.mode, "hz": args.hz,
         "bf16": args.bf16, "wire": "int16" if args.int16 else "float64",
         "quant_cache": args.quant_cache, "capacity": capacity,
-        "seconds": args.seconds,
+        "seconds": args.seconds, "stub_device": args.stub_device,
     }, "runs": []}
+
+    class _StubArena:
+        """Instant device stub: the full serving tick minus the TPU.
+
+        step_device returns preallocated host arrays immediately, so
+        the measured tick = native epoll ingest + slot bookkeeping +
+        audio-echo gather + vectorized wire serialization + native
+        batched send — the HOST-CPU leg of serving, isolated from both
+        the chip and this environment's relay tunnel."""
+
+        def __init__(self, cfg, capacity, path, wire_dtype):
+            from vap_realtime_tpu.runtime.server import RESULT_KEYS
+
+            self.cfg = cfg
+            self.capacity = capacity
+            self.path = path
+            self.wire_dtype = np.dtype(wire_dtype)
+            self.chunk_samples = (cfg.frame_shift
+                                  if path in ("fast", "fast_hybrid")
+                                  else cfg.frame_samples)
+            self._out = {k: np.zeros((capacity, 2), np.float32)
+                         for k in RESULT_KEYS[cfg.mode]}
+
+        def warmup(self):
+            pass
+
+        def reset_slots(self, slots):
+            pass
+
+        def step_device(self, chunks):
+            return self._out
+
+        def step_device_batch(self, frames, slots):
+            return self._out
 
     overlap = 0 if args.engine_path in ("fast", "fast_hybrid") else 320
     for n in stream_counts:
         # capacity == n: every tick moves exactly n streams' bytes —
         # a capacity-sized batch would ship the MAX count's transfer
         # on every run and hide the per-count scaling
-        arena = StreamArena(cfg, params, capacity=n,
-                            path=args.engine_path,
-                            dtype=(jnp.bfloat16 if args.bf16
-                                   else jnp.float32),
-                            attend_impl=args.attend_impl,
-                            slots=args.slots,
-                            quant_cache=args.quant_cache,
-                            wire_dtype=np.int16 if args.int16
-                            else np.float32)
+        if args.stub_device:
+            arena = _StubArena(cfg, n, args.engine_path,
+                               np.int16 if args.int16 else np.float32)
+        else:
+            arena = StreamArena(cfg, params, capacity=n,
+                                path=args.engine_path,
+                                dtype=(jnp.bfloat16 if args.bf16
+                                       else jnp.float32),
+                                attend_impl=args.attend_impl,
+                                slots=args.slots,
+                                quant_cache=args.quant_cache,
+                                wire_dtype=np.int16 if args.int16
+                                else np.float32)
         t0 = time.time()
         arena.warmup()
         print(f"[serving_bench] capacity {n} warm in "
@@ -141,6 +193,7 @@ def main(argv=None):
                     k: round(st[k] / st["n"] * 1e3, 1)
                     for k in ("dispatch", "fetch", "send")}
                 run["ticks"] = st["n"]
+                run["result_ticks_dropped"] = server.ingest.send_dropped()
             report["runs"].append(run)
             print(json.dumps(run), flush=True)
         finally:
@@ -155,6 +208,22 @@ def main(argv=None):
           0 < r["latency_ms"]["p99"] < 2 * 1000.0 / args.hz]
     report["sustained_streams"] = max((r["streams"] for r in ok),
                                       default=0)
+    if args.stub_device:
+        report["environment_note"] = (
+            "HOST-ONLY measurement (--stub_device): the arena step is an "
+            "instant host stub, so these numbers isolate the serving "
+            "stack's host-CPU leg — native epoll ingest, slot "
+            "bookkeeping, batch dispatch hand-off, and the overlapped "
+            "native result builder (echo gather + f64 wire serialization "
+            "+ per-connection queueing on a dedicated thread).  The "
+            "server tick's synchronous cost is the server_ms_per_tick "
+            "row (send = the snapshot hand-off only).  This box has "
+            f"{os.cpu_count()} CPU cores shared by the server's builder/"
+            "io threads AND the loadgen (driver + reader), so "
+            "results_per_sec saturates on total host CPU, not on the "
+            "tick: realtime p99 holds only at the smaller stream "
+            "counts.  On a real serving host (tens of cores per chip "
+            "octet) the builder and io threads own idle cores.")
     if args.out:
         with open(args.out, "w") as f:
             json.dump(report, f, indent=2)

@@ -53,6 +53,17 @@ def _load_lib():
     lib.vap_ingest_send_batch.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    lib.vap_ingest_send_results.restype = ctypes.c_int
+    lib.vap_ingest_send_results.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    lib.vap_ingest_send_pending.restype = ctypes.c_int
+    lib.vap_ingest_send_pending.argtypes = [ctypes.c_void_p]
+    lib.vap_ingest_send_dropped.restype = ctypes.c_int
+    lib.vap_ingest_send_dropped.argtypes = [ctypes.c_void_p]
     lib.vap_ingest_gen.restype = ctypes.c_uint32
     lib.vap_ingest_gen.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.vap_ingest_gens.restype = None
@@ -86,8 +97,14 @@ class NativeIngest:
         self.frame_samples = frame_samples
         self.emit_i16 = emit_i16
         self.port = int(self._lib.vap_ingest_port(self._h))
-        self._frames = np.zeros((capacity, 2, frame_samples),
-                                np.int16 if emit_i16 else np.float32)
+        # poll() alternates TWO frame buffers: the pipelined serving
+        # tick dispatches from buffer k while send_results() snapshots
+        # the echo from buffer k-1 (and the async device transfer of
+        # buffer k-1 has a full tick to complete before reuse)
+        self._frames2 = [np.zeros((capacity, 2, frame_samples),
+                                  np.int16 if emit_i16 else np.float32)
+                         for _ in range(2)]
+        self._fidx = 0
         self._slots = np.zeros((capacity,), np.int32)
 
     @property
@@ -102,22 +119,22 @@ class NativeIngest:
         frame_samples) frame array — rows for slots NOT in the ready
         list are stale)."""
         if not self._h:
-            return [], self._frames
+            return [], self._frames2[0]
+        frames = self._frames2[self._fidx]
+        self._fidx ^= 1
         if self.emit_i16:
             n = self._lib.vap_ingest_poll_i16(
                 self._h,
-                self._frames.ctypes.data_as(
-                    ctypes.POINTER(ctypes.c_int16)),
+                frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
                 self._slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
                 self.capacity)
         else:
             n = self._lib.vap_ingest_poll(
                 self._h,
-                self._frames.ctypes.data_as(
-                    ctypes.POINTER(ctypes.c_float)),
+                frames.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 self._slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
                 self.capacity)
-        return self._slots[:n].tolist(), self._frames
+        return self._slots[:n].tolist(), frames
 
     def send(self, slot: int, payload: bytes) -> int:
         if not self._h:
@@ -151,6 +168,58 @@ class NativeIngest:
             len(slots),
             payloads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             payloads.shape[1]))
+
+    def send_results(self, slots: np.ndarray, gens: np.ndarray, t: float,
+                     frames: np.ndarray, pad: int,
+                     probs: np.ndarray, cols) -> int:
+        """Snapshot + serialize + send one tick's results on the NATIVE
+        builder thread, overlapped with the next tick.
+
+        slots: (n,) int32 targets (negative = skip); gens: (n,) uint32
+        dispatch-time generations (results are dropped if the slot was
+        reused since — closes the dispatch->send race natively);
+        frames: the FULL (capacity, 2, frame_samples) poll array this
+        tick was dispatched from (f32, or raw int16 in emit_i16 mode —
+        echo scaling 1/32768 happens natively); pad: left-context
+        samples dropped from the echo; probs: (n, P) float32 result
+        fields row-major; cols: per-field widths summing to P (field
+        order after x1/x2 per the mode, runtime/server.RESULT_KEYS).
+
+        Wire bytes are identical to serialize_results_batch +
+        send_batch; the caller's arrays are free when the call
+        returns."""
+        if not self._h or len(slots) == 0:
+            return 0
+        slots = np.ascontiguousarray(slots, np.int32)
+        gens = np.ascontiguousarray(gens, np.uint32)
+        frames = np.ascontiguousarray(frames)
+        probs = np.ascontiguousarray(probs, np.float32)
+        cols = np.ascontiguousarray(cols, np.int32)
+        i16 = frames.dtype == np.int16
+        return int(self._lib.vap_ingest_send_results(
+            self._h,
+            slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            gens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(slots), float(t),
+            frames.ctypes.data_as(ctypes.c_void_p), int(i16),
+            frames.shape[-1], pad,
+            probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            probs.shape[1] if probs.ndim == 2 else 0,
+            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(cols)))
+
+    def send_pending(self) -> int:
+        """Builder-queue depth (snapshotted, not yet serialized)."""
+        if not self._h:
+            return 0
+        return int(self._lib.vap_ingest_send_pending(self._h))
+
+    def send_dropped(self) -> int:
+        """Result ticks dropped whole by overload catch-up (builder
+        more than 2 ticks behind)."""
+        if not self._h:
+            return 0
+        return int(self._lib.vap_ingest_send_dropped(self._h))
 
     def generation(self, slot: int) -> int:
         """Per-slot allocation counter — compare across polls to detect

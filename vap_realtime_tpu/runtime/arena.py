@@ -286,3 +286,17 @@ class StreamArena:
                                      jnp.asarray(batch),
                                      jnp.asarray(act))
         return out
+
+    def step_device_batch(self, frames: np.ndarray, slots: np.ndarray):
+        """`step_device` for callers that already hold the FULL
+        (capacity, 2, chunk_samples) slot-major frame array (the native
+        ingest poll buffer): no capacity-sized zero copy, no per-slot
+        Python loop (~25 ms/tick at 8192 streams).  Rows not in `slots`
+        may hold stale audio — they are masked by the active flag, so
+        no stream state reads them."""
+        act = np.zeros((self.capacity,), bool)
+        act[slots] = True
+        self.state, out = self._step(self.params, self.state,
+                                     jnp.asarray(frames),
+                                     jnp.asarray(act))
+        return out

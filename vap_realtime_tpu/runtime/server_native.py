@@ -21,7 +21,6 @@ import jax
 import numpy as np
 
 from vap_realtime_tpu.config import FRAME_CONTEXT_PADDING, VapConfig
-from vap_realtime_tpu.io import wire
 from vap_realtime_tpu.io.native_ingest import NativeIngest
 from vap_realtime_tpu.runtime.arena import StreamArena
 from vap_realtime_tpu.runtime.server import RESULT_KEYS
@@ -64,7 +63,16 @@ class NativeVapServer:
     def tick(self) -> int:
         """One serving tick: drain ready frames, detect slot reuse,
         dispatch one arena step, ship the PREVIOUS step's results.
-        Returns #streams served (dispatched) this tick."""
+        Returns #streams served (dispatched) this tick.
+
+        Host-CPU design (measured with tools/serving_bench.py
+        --stub_device): the dispatch rides the poll buffer straight
+        into the jitted step (step_device_batch — no per-slot Python
+        loop), and the result echo + f64 wire serialization + socket
+        queueing all happen on the NATIVE builder thread
+        (ingest.send_results), overlapped with the next tick.  poll()
+        double-buffers its frame array, so the PREVIOUS tick's audio is
+        intact when its results ship one tick later."""
         slots, frames = self.ingest.poll()
         t0 = time.time()
         gens_now = self.ingest.generations()      # one native call
@@ -76,18 +84,13 @@ class NativeVapServer:
                 # trip each (a connection ramp carries thousands/tick)
                 self.arena.reset_slots(fresh.tolist())
                 self._gens[fresh] = gens_now[fresh]
-            chunks = {sl: frames[sl] for sl in slots}
-            out_dev = self.arena.step_device(chunks)
-            pad = self._pad
-            sc = (1.0 / 32768.0) if self._i16 else 1.0
-            # vectorized audio echo for the result payloads: (n, 2, L')
-            echo = frames[np.asarray(slots)][:, :, pad:] * sc
+            out_dev = self.arena.step_device_batch(frames, sarr)
             # snapshot each dispatched slot's generation NOW: the
             # stale-result check at send time must compare against the
             # generation the result was computed FOR, not against
             # self._gens (which a same-tick reuse already advanced)
             prev, self._pending = self._pending, (
-                slots, echo, out_dev, gens_now[sarr].copy())
+                sarr, frames, out_dev, gens_now[sarr].copy())
             self.tick_stats["n"] += 1
         else:
             prev, self._pending = self._pending, None
@@ -95,25 +98,21 @@ class NativeVapServer:
         self.tick_stats["dispatch"] += t1 - t0
         if prev is None:
             return len(slots) if slots else 0
-        p_slots, p_echo, p_out, p_gens = prev
+        p_slots, p_frames, p_out, p_gens = prev
         out_np = jax.device_get(p_out)    # ONE batched readback
         self.tick_stats["fetch"] += time.time() - t1
         t = time.time()
-        idx = np.asarray(p_slots)
         n = len(p_slots)
-        fields = {"x1": p_echo[:, 0], "x2": p_echo[:, 1]}
-        for key in RESULT_KEYS[self.mode]:
-            fields[key] = np.asarray(out_np[key])[idx].reshape(n, -1)
-        buf = wire.serialize_results_batch(t, fields, self.mode,
-                                           as_matrix=True)
-        # rows whose connection was reused since dispatch are skipped
-        # via a negative slot id (one native call queues everything);
-        # compare against the dispatch-time snapshot so a slot that was
-        # disconnected + reused THIS tick never receives the previous
-        # connection's result (cross-stream leak otherwise)
-        tgt = np.where(gens_now[idx] == p_gens, idx,
-                       -1).astype(np.int32)
-        self.ingest.send_batch(tgt, buf)
+        mats = [np.asarray(out_np[key], np.float32)[p_slots]
+                .reshape(n, -1) for key in RESULT_KEYS[self.mode]]
+        probs = np.concatenate(mats, axis=1)
+        # the native builder re-checks each slot's generation against
+        # the dispatch-time snapshot at queue time, so a connection
+        # reused ANYWHERE between dispatch and send never receives the
+        # previous connection's result
+        self.ingest.send_results(
+            p_slots, p_gens, t, p_frames, self._pad, probs,
+            [m.shape[1] for m in mats])
         self.frames_served += n
         self.tick_stats["send"] += time.time() - t
         return len(slots) if slots else 0
