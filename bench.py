@@ -145,16 +145,24 @@ def variant(name: str):
                                  attend_impl=attend)
         return step, functools.partial(init_kv_state, quant=quant,
                                        staged=True), "frame", dtype
+    # encoder knobs on the fast paths: BENCH_CONV_IMPL=conv|blocked|fused
+    # (streaming conv implementation) and BENCH_CONV_CHUNKS=k (encoder
+    # sub-batching — the transient-HBM capacity lever)
+    cimpl = os.environ.get("BENCH_CONV_IMPL", "conv")
+    cchunks = int(os.environ.get("BENCH_CONV_CHUNKS", "1"))
     if path == "faststaged":
         step = functools.partial(fast_step, slots="staged",
-                                 attend_impl=attend)
+                                 attend_impl=attend, conv_impl=cimpl,
+                                 conv_chunks=cchunks)
         return step, functools.partial(init_fast_state, quant=quant,
-                                       staged=True), "shift", dtype
+                                       staged=True, conv_impl=cimpl), \
+            "shift", dtype
     if path == "fast":
         step = functools.partial(fast_step, slots="global",
-                                 attend_impl=attend)
-        return step, functools.partial(init_fast_state, quant=quant), \
-            "shift", dtype
+                                 attend_impl=attend, conv_impl=cimpl,
+                                 conv_chunks=cchunks)
+        return step, functools.partial(init_fast_state, quant=quant,
+                                       conv_impl=cimpl), "shift", dtype
     if path == "fastblk":
         # fast path with the channels-last stride-block matmul conv
         step = functools.partial(fast_step, slots="global",

@@ -544,3 +544,22 @@ def test_staged_rejects_tiny_context():
     assert cfg.context_frames < STAGE_S
     with _pytest.raises(ValueError, match="staged"):
         init_kv_state(cfg, 1, staged=True)
+
+
+def test_fast_step_conv_chunks_identical():
+    """Encoder sub-batching (conv_chunks, the transient-HBM capacity
+    lever) must not change numerics."""
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    p = synthetic_params(20)
+    B = 8
+    rs = np.random.RandomState(0)
+    st1 = init_fast_state(cfg, B, staged=True)
+    st2 = init_fast_state(cfg, B, staged=True)
+    for _f in range(3):
+        ch = jnp.asarray(
+            rs.randn(B, 2, cfg.frame_shift).astype(np.float32) * 0.1)
+        st1, o1 = fast_step(p, st1, ch, cfg, slots="staged")
+        st2, o2 = fast_step(p, st2, ch, cfg, slots="staged",
+                            conv_chunks=4)
+        np.testing.assert_allclose(np.asarray(o2["p_now"]),
+                                   np.asarray(o1["p_now"]), atol=1e-6)

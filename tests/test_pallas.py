@@ -206,3 +206,86 @@ class TestFusedAttend:
                                    np.asarray(se.cache), atol=1e-5)
         np.testing.assert_allclose(np.asarray(s3.cache),
                                    np.asarray(se.cache), atol=1e-5)
+
+
+def test_fused_encoder_matches_streaming_oracle():
+    """Fused conv-stack kernel (all modes) == the NCW streaming stack,
+    frame by frame with carried state (f32: identical math, fp noise
+    only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vap_realtime_tpu.models.encoder import (
+        cpc_conv_stack_streaming, init_conv_stream_state,
+        init_cpc_encoder_params,
+    )
+    from vap_realtime_tpu.ops.pallas.encoder import (
+        cpc_conv_stack_streaming_fused, init_conv_stream_state_fused,
+    )
+
+    p = init_cpc_encoder_params(jax.random.PRNGKey(0))
+    B, L = 4, 800
+    new = jnp.asarray(
+        np.random.RandomState(0).randn(B, L).astype(np.float32) * 0.1)
+    for mode in ("merge8", "taps20"):
+        st_n = init_conv_stream_state(B)
+        st_f = init_conv_stream_state_fused(B)
+        for f in range(3):
+            x = new * (1.0 + 0.1 * f)
+            zn, st_n = cpc_conv_stack_streaming(p, x, st_n)
+            zf, st_f = cpc_conv_stack_streaming_fused(p, x, st_f,
+                                                      mode=mode)
+            np.testing.assert_allclose(np.asarray(zf), np.asarray(zn),
+                                       atol=2e-5, err_msg=f"{mode} f{f}")
+        # carry equivalence across layouts
+        for i in range(5):
+            a = np.asarray(st_n[f"c{i}"])
+            b = np.asarray(st_f[f"c{i}"] if i == 0
+                           else jnp.swapaxes(st_f[f"c{i}"], 1, 2))
+            np.testing.assert_allclose(b, a, atol=2e-5, err_msg=f"c{i}")
+
+
+def test_channel_norm_relu_kernel_matches():
+    """One-pass ChannelNorm+ReLU kernel == ops.basic.channel_norm +
+    relu on NCW activations."""
+    import jax
+    import jax.numpy as jnp
+
+    from vap_realtime_tpu.ops.basic import channel_norm
+    from vap_realtime_tpu.ops.pallas.channorm import channel_norm_relu
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(6, 256, 40).astype(np.float32))
+    w = jnp.asarray(rs.randn(256, 1).astype(np.float32))
+    b = jnp.asarray(rs.randn(256, 1).astype(np.float32))
+    ref = jax.nn.relu(channel_norm(x, w, b))
+    got = channel_norm_relu(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_normk_streaming_stack_matches():
+    """NCW convs + fused-norm kernel == the plain streaming stack."""
+    import jax
+    import jax.numpy as jnp
+
+    from vap_realtime_tpu.models.encoder import (
+        cpc_conv_stack_streaming, cpc_conv_stack_streaming_normk,
+        init_conv_stream_state, init_cpc_encoder_params,
+    )
+
+    p = init_cpc_encoder_params(jax.random.PRNGKey(0))
+    B, L = 4, 800
+    new = jnp.asarray(
+        np.random.RandomState(0).randn(B, L).astype(np.float32) * 0.1)
+    st_a, st_b = init_conv_stream_state(B), init_conv_stream_state(B)
+    for f in range(3):
+        x = new * (1.0 + 0.1 * f)
+        za, st_a = cpc_conv_stack_streaming(p, x, st_a)
+        zb, st_b = cpc_conv_stack_streaming_normk(p, x, st_b)
+        np.testing.assert_allclose(np.asarray(zb), np.asarray(za),
+                                   atol=1e-5)
+        for i in range(5):
+            np.testing.assert_allclose(np.asarray(st_b[f"c{i}"]),
+                                       np.asarray(st_a[f"c{i}"]),
+                                       atol=1e-5)

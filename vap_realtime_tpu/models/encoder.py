@@ -262,6 +262,26 @@ def cpc_conv_stack_streaming_blocked(params: Params, new: jax.Array,
     return x, new_state                               # (B, L/160, C)
 
 
+def cpc_conv_stack_streaming_normk(params: Params, new: jax.Array,
+                                   state: Params):
+    """`cpc_conv_stack_streaming` with the ChannelNorm + ReLU between
+    convs fused into ONE HBM pass each (ops/pallas/channorm.py) — the
+    r5 device trace pinned XLA's separate stats/apply norm passes at
+    ~6.3 ms/step at B=4096 streams, most of the encoder cost.  Convs
+    stay XLA NCW; numerics identical to the "conv" impl."""
+    from vap_realtime_tpu.ops.pallas.channorm import channel_norm_relu
+
+    x = new[:, None, :]
+    new_state: Params = {}
+    for i, (k, s, _pad) in enumerate(CPC_CONV_SPECS):
+        x = jnp.concatenate([state[f"c{i}"].astype(x.dtype), x], axis=-1)
+        new_state[f"c{i}"] = x[..., x.shape[-1] - (k - s):]
+        c, n = params[f"conv{i}"], params[f"norm{i}"]
+        x = conv1d(x, c["w"], c["b"], stride=s, padding=0)
+        x = channel_norm_relu(x, n["w"], n["b"])
+    return jnp.swapaxes(x, 1, 2), new_state  # (B, L_new/160, C)
+
+
 def encode_chunk_streaming(params: Params, new: jax.Array, conv_state: Params,
                            h0: jax.Array, c0: jax.Array,
                            downsample_kernel: int,
@@ -277,13 +297,23 @@ def encode_chunk_streaming(params: Params, new: jax.Array, conv_state: Params,
     ending at the frame boundary (the chunked path's embedding ends 320
     samples later; one-off alignment, documented fast-path semantics).
 
-    conv_impl: "conv" (XLA NCW convs) or "blocked" (channels-last
+    conv_impl: "conv" (XLA NCW convs), "blocked" (channels-last
     stride-block matmuls — same math/state, MXU-shaped; see
-    `cpc_conv_stack_streaming_blocked`).
+    `cpc_conv_stack_streaming_blocked`), or "fused" (the whole stack in
+    ONE Pallas kernel, channels-last carries — ops/pallas/encoder.py;
+    state from init_conv_stream_state_fused).
     """
-    stack = (cpc_conv_stack_streaming_blocked if conv_impl == "blocked"
-             else cpc_conv_stack_streaming)
-    z, conv_state = stack(params, new, conv_state)
+    if conv_impl == "fused":
+        from vap_realtime_tpu.ops.pallas.encoder import (
+            cpc_conv_stack_streaming_fused,
+        )
+        z, conv_state = cpc_conv_stack_streaming_fused(
+            params, new, conv_state)
+    else:
+        stack = {"blocked": cpc_conv_stack_streaming_blocked,
+                 "normk": cpc_conv_stack_streaming_normk,
+                 }.get(conv_impl, cpc_conv_stack_streaming)
+        z, conv_state = stack(params, new, conv_state)
     y, h_new, c_new = cpc_context(params, z, h0, c0)
     e = downsample(params, y, downsample_kernel)
     return e[:, 0, :], conv_state, h_new, c_new

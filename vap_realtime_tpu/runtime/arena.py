@@ -122,11 +122,16 @@ class StreamArena:
                  path: str = "kv", dtype=jnp.float32, slots: str = "staged",
                  resync_every: Optional[int] = None,
                  attend_impl: str = "einsum", quant_cache: bool = False,
-                 wire_dtype=np.float32):
+                 wire_dtype=np.float32, conv_impl: str = "conv",
+                 conv_chunks: int = 1):
         """wire_dtype: dtype of the chunks fed to step() — np.float32
         (normalized audio) or np.int16 (raw samples; normalized /32768
         on device — quarters the host->device transfer, the serving
-        bottleneck on slow host links)."""
+        bottleneck on slow host links).
+
+        conv_impl / conv_chunks (fast path): streaming-conv encoder
+        implementation and encoder sub-batching factor (transient HBM
+        capacity lever — see incremental.fast_step)."""
         self.cfg = cfg
         self.capacity = capacity
         self.path = path
@@ -141,9 +146,11 @@ class StreamArena:
         staged = slots == "staged"
         if path == "fast":
             self.state = incremental.init_fast_state(cfg, capacity, dtype,
-                                                     quant_cache, staged)
+                                                     quant_cache, staged,
+                                                     conv_impl)
             step_fn = lambda p, st, ch, act: incremental.fast_step(
-                p, st, ch, cfg, act, slots=slots, attend_impl=attend_impl)
+                p, st, ch, cfg, act, slots=slots, attend_impl=attend_impl,
+                conv_impl=conv_impl, conv_chunks=conv_chunks)
         elif path == "fast_hybrid":
             n = resync_every if resync_every is not None \
                 else cfg.context_frames

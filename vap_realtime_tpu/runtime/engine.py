@@ -50,7 +50,8 @@ class VapEngine:
                  path: str = "kv", batch: int = 1,
                  dtype=jnp.float32, resync_every: Optional[int] = None,
                  attend_impl: str = "einsum", quant_cache: bool = False,
-                 slots: Optional[str] = None):
+                 slots: Optional[str] = None, conv_impl: str = "conv",
+                 conv_chunks: int = 1):
         self.cfg = cfg or VapConfig()
         self.batch = batch
         self.path = path
@@ -100,11 +101,14 @@ class VapEngine:
         elif path == "fast":
             def _fstep(p, st, ch, c, act=None):
                 return incremental.fast_step(p, st, ch, c, act, slots=slots,
-                                             attend_impl=attend_impl)
+                                             attend_impl=attend_impl,
+                                             conv_impl=conv_impl,
+                                             conv_chunks=conv_chunks)
 
             self._step = jax.jit(_fstep, static_argnums=3)
             self.state = incremental.init_fast_state(self.cfg, batch, dtype,
-                                                     quant_cache, staged)
+                                                     quant_cache, staged,
+                                                     conv_impl)
         elif path == "full":
             self._step = jax.jit(streaming.stream_step, static_argnums=3)
             self.state = streaming.init_stream_state(self.cfg, batch, dtype)

@@ -684,19 +684,28 @@ class FastState:
 
 def init_fast_state(cfg: VapConfig, batch: int = 1,
                     dtype=jnp.float32, quant: bool = False,
-                    staged: bool = False) -> FastState:
+                    staged: bool = False,
+                    conv_impl: str = "conv") -> FastState:
     from vap_realtime_tpu.models.encoder import init_conv_stream_state
 
+    if conv_impl == "fused":
+        from vap_realtime_tpu.ops.pallas.encoder import (
+            init_conv_stream_state_fused,
+        )
+        conv = init_conv_stream_state_fused(batch * 2, cfg.encoder_dim,
+                                            dtype)
+    else:
+        conv = init_conv_stream_state(batch * 2, cfg.encoder_dim, dtype)
     return FastState(
         kv=init_kv_state(cfg, batch, dtype, quant, staged),
-        conv=init_conv_stream_state(batch * 2, cfg.encoder_dim, dtype),
+        conv=conv,
     )
 
 
 def fast_step(params: Params, state: FastState, new: jax.Array,
               cfg: VapConfig, active: jax.Array | None = None,
               slots: str = "global", attend_impl: str = "einsum",
-              conv_impl: str = "conv"
+              conv_impl: str = "conv", conv_chunks: int = 1
               ) -> Tuple[FastState, Dict[str, jax.Array]]:
     """One fast-path frame: new (B, 2, 16000//frame_hz) FRESH samples
     only (no 320-sample overlap) -> probabilities.
@@ -707,6 +716,13 @@ def fast_step(params: Params, state: FastState, new: jax.Array,
     (encode_sequence_streaming_oracle); deviates from the reference's
     per-chunk pad+trim recipe near stream start and by the 320-sample
     alignment — use `kv_step`/`stream_step` for reference numerics.
+
+    conv_chunks > 1 sub-batches the ENCODER (conv stack + LSTM +
+    downsample) into that many sequential lax.map slices: the conv0/1
+    activation transients — the measured HBM capacity binder at large B
+    (VERDICT r4: int8 serving OOMs at B=12,288 while the state budget
+    allows ~42k) — shrink by the same factor, trading a little
+    scheduling overlap for stream capacity.  Numerics identical.
     """
     from vap_realtime_tpu.models.encoder import encode_chunk_streaming
 
@@ -717,11 +733,25 @@ def fast_step(params: Params, state: FastState, new: jax.Array,
         active = jnp.ones((B,), bool)
 
     flat = new.reshape(B * 2, -1)
-    e, conv2, h_new, c_new = encode_chunk_streaming(
-        params["encoder"], flat, state.conv,
-        state.kv.lstm_h.reshape(B * 2, -1),
-        state.kv.lstm_c.reshape(B * 2, -1), cfg.downsample_kernel,
-        conv_impl)
+    h0 = state.kv.lstm_h.reshape(B * 2, -1)
+    c0 = state.kv.lstm_c.reshape(B * 2, -1)
+    if conv_chunks > 1 and (B * 2) % conv_chunks == 0:
+        k = conv_chunks
+        split = lambda a: jax.tree_util.tree_map(
+            lambda x: x.reshape(k, x.shape[0] // k, *x.shape[1:]), a)
+        e, conv2, h_new, c_new = jax.lax.map(
+            lambda xs: encode_chunk_streaming(
+                params["encoder"], xs[0], xs[1], xs[2], xs[3],
+                cfg.downsample_kernel, conv_impl),
+            (split(flat), split(state.conv), split(h0), split(c0)))
+        unsplit = lambda a: jax.tree_util.tree_map(
+            lambda x: x.reshape(x.shape[0] * x.shape[1], *x.shape[2:]), a)
+        e, conv2, h_new, c_new = (unsplit(e), unsplit(conv2),
+                                  unsplit(h_new), unsplit(c_new))
+    else:
+        e, conv2, h_new, c_new = encode_chunk_streaming(
+            params["encoder"], flat, state.conv, h0, c0,
+            cfg.downsample_kernel, conv_impl)
     e = e.reshape(B, 2, D).astype(dtype)
 
     act2 = jnp.repeat(active, 2)
