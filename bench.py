@@ -79,7 +79,15 @@ def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
             def body(carry, _):
                 st, ch, acc = carry
                 st, out = step_fn(params, st, ch, cfg)
-                acc = acc + jnp.sum(out["p_now"]).astype(jnp.float32)
+                # consume EVERY output: with only p_now live, XLA DCEs
+                # the vad/bc/nod heads — all three modes then measure
+                # the identical graph and the step is flattered vs the
+                # real serving dispatch, which reads all fields (r5:
+                # this also explained r4's phantom 12% vap-vs-bc gap
+                # at 10 Hz — pure run variance between identical
+                # programs)
+                acc = acc + sum(jnp.sum(v).astype(jnp.float32)
+                                for v in out.values())
                 ch = ch * 0.999 + 1e-4 * acc.astype(ch.dtype)
                 return (st, ch, acc), None
             (st, ch, acc), _ = jax.lax.scan(

@@ -549,6 +549,10 @@ def test_staged_rejects_tiny_context():
 def test_fast_step_conv_chunks_identical():
     """Encoder sub-batching (conv_chunks, the transient-HBM capacity
     lever) must not change numerics."""
+    from vap_realtime_tpu.runtime.incremental import (
+        fast_step, init_fast_state,
+    )
+
     cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
     p = synthetic_params(20)
     B = 8

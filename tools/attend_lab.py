@@ -102,6 +102,23 @@ def _bcast_body(q, k, v, kc, vc, age, *, H, scale, out_dtype, mode):
         # exp(-3.9e6) for dead rows still underflows to exactly 0.
         w = jnp.exp(jnp.minimum(s, 60.0))
         w_cur = jnp.exp(jnp.minimum(s_cur, 60.0))
+    elif mode == "noexp":
+        # r5: skip the transcendental, keep every other pass — isolates
+        # the exp cost within nomax
+        w = jnp.minimum(s, 60.0)
+        w_cur = jnp.minimum(s_cur, 60.0)
+    elif mode == "nodenom":
+        # r5: skip the T-axis denom reduce (denom = 1)
+        w = jnp.exp(jnp.minimum(s, 60.0))
+        out = jnp.sum((w.astype(v.dtype) * v).astype(f32), axis=1)
+        out = out + vc.astype(f32)
+        return out.astype(out_dtype)
+    elif mode == "noout":
+        # r5: skip the weighted-value mult+reduce, keep denom
+        w = jnp.exp(jnp.minimum(s, 60.0))
+        w_cur = jnp.exp(jnp.minimum(s_cur, 60.0))
+        denom = jnp.sum(w, axis=1) + w_cur
+        return (w[:, 0, :] / denom).astype(out_dtype)
     elif mode == "bf16exp":
         mx = jnp.maximum(jnp.max(s, axis=1), s_cur)
         w = jnp.exp((s - mx[:, None, :]).astype(jnp.bfloat16))
@@ -209,6 +226,13 @@ def main():
         "bcast_bf16exp": (functools.partial(_k_bcast_mode, H=H,
                                             scale=scale,
                                             mode="bf16exp"), 32),
+        "bcast_noexp": (functools.partial(_k_bcast_mode, H=H,
+                                          scale=scale, mode="noexp"), 32),
+        "bcast_nodenom": (functools.partial(_k_bcast_mode, H=H,
+                                            scale=scale,
+                                            mode="nodenom"), 32),
+        "bcast_noout": (functools.partial(_k_bcast_mode, H=H,
+                                          scale=scale, mode="noout"), 32),
         "bcast_b16": (functools.partial(_k_prod, H=H, scale=scale,
                                         compact=False), 16),
         "bcast_b64": (functools.partial(_k_prod, H=H, scale=scale,

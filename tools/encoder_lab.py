@@ -112,22 +112,10 @@ def main():
 
             def step(p, ch, st, _bb=bb, _m=mode, _a=ablate):
                 from vap_realtime_tpu.ops.pallas.encoder import (
-                    conv0_patches, conv_stack_fused_call,
-                    pack_fused_params,
+                    cpc_conv_stack_streaming_fused,
                 )
-                dtt = ch.dtype
-                xc0 = jnp.concatenate([st["c0"][:, 0, :].astype(dtt), ch],
-                                      axis=-1)
-                P = conv0_patches(xc0)
-                w0, wts, aux = pack_fused_params(p)
-                z, tails = conv_stack_fused_call(
-                    P, tuple(st[f"c{i}"].astype(dtt) for i in range(1, 5)),
-                    w0.astype(dtt), tuple(w.astype(dtt) for w in wts),
-                    aux, block_b=_bb, mode=_m, ablate=_a)
-                ns = {"c0": xc0[:, None, -5:]}
-                for i, t in enumerate(tails):
-                    ns[f"c{i + 1}"] = t
-                return z, ns
+                return cpc_conv_stack_streaming_fused(
+                    p, ch, st, block_b=_bb, mode=_m, ablate=_a)
 
             st0 = init_conv_stream_state_fused(B, dtype=dt)
         else:

@@ -408,7 +408,8 @@ def conv0_patches(xc0: jax.Array):
 
 def cpc_conv_stack_streaming_fused(params: Params, new: jax.Array,
                                    state: Params, block_b: int = 16,
-                                   mode: str = "merge8"):
+                                   mode: str = "merge8",
+                                   ablate: str = ""):
     """Drop-in replacement for models/encoder.cpc_conv_stack_streaming
     with the fused kernel: new (B, L) fresh samples, state carries
     channels-last ({"c0": (B, 1, 5)} + {"c1": (B, 4, C), "c2".."c4":
@@ -430,7 +431,7 @@ def cpc_conv_stack_streaming_fused(params: Params, new: jax.Array,
         carries = (carries[0].reshape(B, 1, 4 * C),) + carries[1:]
     z, tails = conv_stack_fused_call(
         P, carries, w0.astype(dt), tuple(w.astype(dt) for w in wts),
-        aux, block_b=block_b, mode=mode)
+        aux, block_b=block_b, mode=mode, ablate=ablate)
     new_state = {"c0": xc0[:, None, -CONV0_S:]}
     for i, t in enumerate(tails):
         if i == 0 and mode == "v3":
