@@ -107,6 +107,16 @@ def _bcast_body(q, k, v, kc, vc, age, *, H, scale, out_dtype, mode):
         # the exp cost within nomax
         w = jnp.minimum(s, 60.0)
         w_cur = jnp.minimum(s_cur, 60.0)
+    elif mode == "f32out":
+        # r5: nomax with the value chain kept in f32 — no w->bf16 cast,
+        # no bf16 mult, no product->f32 cast (the r5 decomposition puts
+        # the cast-heavy out chain at 3.4 ms of the 5.3 ms VPU surplus)
+        w = jnp.exp(jnp.minimum(s, 60.0))
+        w_cur = jnp.exp(jnp.minimum(s_cur, 60.0))
+        denom = jnp.sum(w, axis=1) + w_cur
+        out = jnp.sum(w * v.astype(f32), axis=1)
+        out = out + w_cur * vc.astype(f32)
+        return (out / denom).astype(out_dtype)
     elif mode == "nodenom":
         # r5: skip the T-axis denom reduce (denom = 1)
         w = jnp.exp(jnp.minimum(s, 60.0))
@@ -228,6 +238,12 @@ def main():
                                             mode="bf16exp"), 32),
         "bcast_noexp": (functools.partial(_k_bcast_mode, H=H,
                                           scale=scale, mode="noexp"), 32),
+        "bcast_f32out": (functools.partial(_k_bcast_mode, H=H,
+                                           scale=scale,
+                                           mode="f32out"), 32),
+        "bcast_f32out_b8": (functools.partial(_k_bcast_mode, H=H,
+                                              scale=scale,
+                                              mode="f32out"), 8),
         "bcast_nodenom": (functools.partial(_k_bcast_mode, H=H,
                                             scale=scale,
                                             mode="nodenom"), 32),

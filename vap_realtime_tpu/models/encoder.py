@@ -154,12 +154,18 @@ def init_conv_stream_state(batch: int, dim: int = 256,
     """Per-layer input tails for the seamless streaming conv stack.
 
     batch counts CHANNEL-streams (B*2 when called per stereo stream).
+
+    Layout: c0 (batch, 1, 5) (single input channel); c1..c4 CHANNELS-
+    LAST (batch, k-s, C).  The r4 NCW carries ((batch, C, 2)) put the
+    2-element time dim on the LANE axis — XLA pads every lane tile to
+    128, a 64x HBM expansion that cost ~8 GB at B=16,384 streams and
+    set the measured serving capacity wall (r5 OOM dump).  Channels-
+    last rows are padding-free; the NCW conv transposes these small
+    tails in-step (micro-tensors).
     """
-    st: Params = {}
-    in_ch = 1
-    for i, c in enumerate(CPC_CONV_CARRY):
-        st[f"c{i}"] = jnp.zeros((batch, in_ch, c), dtype)
-        in_ch = dim
+    st: Params = {"c0": jnp.zeros((batch, 1, CPC_CONV_CARRY[0]), dtype)}
+    for i, c in enumerate(CPC_CONV_CARRY[1:], start=1):
+        st[f"c{i}"] = jnp.zeros((batch, c, dim), dtype)
     return st
 
 
@@ -173,8 +179,13 @@ def cpc_conv_stack_streaming(params: Params, new: jax.Array,
     x = new[:, None, :]
     new_state: Params = {}
     for i, (k, s, _pad) in enumerate(CPC_CONV_SPECS):
-        x = jnp.concatenate([state[f"c{i}"].astype(x.dtype), x], axis=-1)
-        new_state[f"c{i}"] = x[..., x.shape[-1] - (k - s):]
+        carry = state[f"c{i}"].astype(x.dtype)
+        if i > 0:
+            carry = jnp.swapaxes(carry, 1, 2)   # channels-last -> NCW
+        x = jnp.concatenate([carry, x], axis=-1)
+        tail = x[..., x.shape[-1] - (k - s):]
+        new_state[f"c{i}"] = (tail if i == 0
+                              else jnp.swapaxes(tail, 1, 2))
         c, n = params[f"conv{i}"], params[f"norm{i}"]
         x = conv1d(x, c["w"], c["b"], stride=s, padding=0)
         x = channel_norm(x, n["w"], n["b"])
@@ -230,9 +241,9 @@ def cpc_conv_stack_streaming_blocked(params: Params, new: jax.Array,
         if i == 0:
             continue
         assert k == 2 * s, "blocked formulation assumes kernel = 2*stride"
-        carry = jnp.swapaxes(state[f"c{i}"], 1, 2)    # (B, k-s, C_in)
+        carry = state[f"c{i}"]                        # (B, k-s, C_in)
         xc = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
-        new_state[f"c{i}"] = jnp.swapaxes(xc[:, -(k - s):, :], 1, 2)
+        new_state[f"c{i}"] = xc[:, -(k - s):, :]
         B, L, Cin = xc.shape
         n_blk = L // s
         n_out = n_blk - 1
@@ -274,8 +285,13 @@ def cpc_conv_stack_streaming_normk(params: Params, new: jax.Array,
     x = new[:, None, :]
     new_state: Params = {}
     for i, (k, s, _pad) in enumerate(CPC_CONV_SPECS):
-        x = jnp.concatenate([state[f"c{i}"].astype(x.dtype), x], axis=-1)
-        new_state[f"c{i}"] = x[..., x.shape[-1] - (k - s):]
+        carry = state[f"c{i}"].astype(x.dtype)
+        if i > 0:
+            carry = jnp.swapaxes(carry, 1, 2)
+        x = jnp.concatenate([carry, x], axis=-1)
+        tail = x[..., x.shape[-1] - (k - s):]
+        new_state[f"c{i}"] = (tail if i == 0
+                              else jnp.swapaxes(tail, 1, 2))
         c, n = params[f"conv{i}"], params[f"norm{i}"]
         x = conv1d(x, c["w"], c["b"], stride=s, padding=0)
         x = channel_norm_relu(x, n["w"], n["b"])

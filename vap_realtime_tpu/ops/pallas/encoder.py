@@ -442,8 +442,9 @@ def cpc_conv_stack_streaming_fused(params: Params, new: jax.Array,
 
 def init_conv_stream_state_fused(batch: int, dim: int = C,
                                  dtype=jnp.float32) -> Params:
-    """Channels-last streaming carries for the fused kernel (same
-    information as models/encoder.init_conv_stream_state, transposed)."""
+    """Channels-last streaming carries for the fused kernel (identical
+    layout to models/encoder.init_conv_stream_state since r5 — the NCW
+    carries paid a 64x lane-padding HBM tax at large B)."""
     st: Params = {"c0": jnp.zeros((batch, 1, CONV0_S), dtype)}
     for i, (k, s) in enumerate(TAIL_KS):
         st[f"c{i + 1}"] = jnp.zeros((batch, k - s, dim), dtype)

@@ -262,12 +262,13 @@ class StreamArena:
         frame_samples elsewhere); all other slots are FROZEN (state
         untouched).
 
-        With the default ``slots="stream"`` policy a stream's results
-        depend ONLY on its own frame sequence — never on tick/packet
-        interleaving across streams, including after the KV ring wraps.
-        (With ``slots="global"`` the guarantee weakens after wrap: a
-        stream active on a fraction d of ticks keeps ~d*T of its own
-        context — rows go invalid, outputs stay well-formed.)
+        With the default ``slots="staged"`` policy (and its unamortized
+        twin ``"stream"``) a stream's results depend ONLY on its own
+        frame sequence — never on tick/packet interleaving across
+        streams, including after the KV ring wraps.  (With
+        ``slots="global"`` the guarantee weakens after wrap: a stream
+        active on a fraction d of ticks keeps ~d*T of its own context —
+        rows go invalid, outputs stay well-formed.)
 
         Returns {slot: {output_name: np.ndarray}} for the slots in
         `chunks`.
