@@ -309,3 +309,38 @@ def test_batched_server_two_streams(arena_cfg, path):
     for a, b in zip(r1, r2):
         np.testing.assert_allclose(a["p_now"], b["p_now"], atol=1e-5)
     assert all(0.0 < r["p_now"][0] < 1.0 for r in r1)
+
+
+def test_arena_host_merge_matches_auto_cond():
+    """The arena's HOST-side staged-merge cadence (cond-free merge jit,
+    r5 capacity fix) must produce the same frame-by-frame outputs as
+    the in-graph lax.cond path (run_frames_fast, merge="auto") — the
+    staged contract makes results invariant to merge-tick placement, so
+    the arena's warmup offset must not matter."""
+    import jax
+    import jax.numpy as jnp
+
+    from vap_realtime_tpu.runtime.incremental import (
+        init_fast_state, run_frames_fast,
+    )
+
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    params = synthetic_params(20)
+    B, F = 3, 20                       # > 2 * STAGE_S frames
+    rs = np.random.RandomState(3)
+    frames = rs.randn(F, B, 2, cfg.frame_shift).astype(np.float32) * 0.1
+
+    arena = StreamArena(cfg, params, capacity=B, path="fast",
+                        slots="staged")
+    assert arena._step_merge is not None
+    arena.warmup()
+    got = []
+    for f in range(F):
+        out = arena.step({b: frames[f, b] for b in range(B)})
+        got.append(np.stack([out[b]["p_now"] for b in range(B)]))
+
+    run = jax.jit(run_frames_fast, static_argnums=(3, 4))
+    _, ref = run(params, init_fast_state(cfg, B, staged=True),
+                 jnp.asarray(frames), cfg, "staged")
+    np.testing.assert_allclose(np.stack(got),
+                               np.asarray(ref["p_now"]), atol=2e-5)

@@ -144,13 +144,28 @@ class StreamArena:
         self.params = jax.device_put(
             jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params))
         staged = slots == "staged"
+        # staged fast/kv paths: the merge cadence moves HOST-side (two
+        # jitted variants) — the in-graph lax.cond merge holds a
+        # cache-sized temporary (a cond branch cannot write the carried
+        # cache in place), which binds serving capacity at large B
+        # (see incremental._kv_core `merge`)
+        self._host_merge = staged and path in ("fast", "kv")
+        self._tick = 0
+        step_merge_fn = None
         if path == "fast":
             self.state = incremental.init_fast_state(cfg, capacity, dtype,
                                                      quant_cache, staged,
                                                      conv_impl)
-            step_fn = lambda p, st, ch, act: incremental.fast_step(
-                p, st, ch, cfg, act, slots=slots, attend_impl=attend_impl,
-                conv_impl=conv_impl, conv_chunks=conv_chunks)
+
+            def mk_fast(merge):
+                return lambda p, st, ch, act: incremental.fast_step(
+                    p, st, ch, cfg, act, slots=slots,
+                    attend_impl=attend_impl, conv_impl=conv_impl,
+                    conv_chunks=conv_chunks, merge=merge)
+
+            step_fn = mk_fast("never" if self._host_merge else "auto")
+            if self._host_merge:
+                step_merge_fn = mk_fast("force")
         elif path == "fast_hybrid":
             n = resync_every if resync_every is not None \
                 else cfg.context_frames
@@ -175,27 +190,37 @@ class StreamArena:
             # contract) at global-slot write cost via the frame-major
             # stage.  "global" shortens a d-duty-cycle stream's context
             # to ~d*T after wrap; "stream" is the per-frame scatter.
-            step_fn = lambda p, st, ch, act: incremental.kv_step(
-                p, st, ch, cfg, act, slots=slots)
+
+            def mk_kv(merge):
+                return lambda p, st, ch, act: incremental.kv_step(
+                    p, st, ch, cfg, act, slots=slots, merge=merge)
+
+            step_fn = mk_kv("never" if self._host_merge else "auto")
+            if self._host_merge:
+                step_merge_fn = mk_kv("force")
         else:
             step_fn = lambda p, st, ch, act: streaming.stream_step(
                 p, st, ch, cfg, act)
             self.state = streaming.init_stream_state(cfg, capacity, dtype)
-        raw_fn = step_fn
-
-        def step_cast(p, st, ch, act):
-            # chunks arrive float32 or raw int16; cast/normalize on
-            # device (free: fuses into the first conv)
-            x = ch.astype(dtype)
-            if ch.dtype == jnp.int16:
-                x = x * jnp.asarray(1.0 / 32768.0, dtype)
-            return raw_fn(p, st, x, act)
+        def make_cast(raw_fn):
+            def step_cast(p, st, ch, act):
+                # chunks arrive float32 or raw int16; cast/normalize on
+                # device (free: fuses into the first conv)
+                x = ch.astype(dtype)
+                if ch.dtype == jnp.int16:
+                    x = x * jnp.asarray(1.0 / 32768.0, dtype)
+                return raw_fn(p, st, x, act)
+            return step_cast
 
         cs = jax.ShapeDtypeStruct((capacity, 2, self.chunk_samples),
                                   jnp.dtype(wire_dtype))
         ap = jax.ShapeDtypeStruct((capacity,), jnp.bool_)
-        self._step = jit_pinned(step_cast, self.params, self.state,
-                                cs, ap, donate_argnums=(1,))
+        self._step = jit_pinned(make_cast(step_fn), self.params,
+                                self.state, cs, ap, donate_argnums=(1,))
+        self._step_merge = (jit_pinned(make_cast(step_merge_fn),
+                                       self.params, self.state, cs, ap,
+                                       donate_argnums=(1,))
+                            if step_merge_fn is not None else None)
         self._reset = jit_pinned(
             _reset_slot, self.state,
             jax.ShapeDtypeStruct((capacity,), jnp.bool_),
@@ -248,13 +273,37 @@ class StreamArena:
         # stream's cache rows in either slot policy ("stream" drops the
         # scatter; "global" blends frozen rows through unchanged), so this
         # is safe at any point in the arena's life, not just startup.
-        st, out = self._step(self.params, self.state,
-                             jnp.asarray(self._zero),
-                             jnp.zeros((self.capacity,), bool))
+        st, out = self._dispatch_step()(self.params, self.state,
+                                        jnp.asarray(self._zero),
+                                        jnp.zeros((self.capacity,), bool))
         # the state arg is DONATED: keep the (semantically identical)
         # result, the input buffer is gone
         self.state = st
         jax.block_until_ready(out)
+        if self._step_merge is not None:
+            # compile + warm the merge-tick variant too (an empty-stage
+            # frozen merge drops every scatter row — state-neutral), so
+            # no compile stall lands mid-serving on the first real
+            # merge tick
+            st, out = self._step_merge(self.params, self.state,
+                                       jnp.asarray(self._zero),
+                                       jnp.zeros((self.capacity,), bool))
+            self._tick += 1
+            self.state = st
+            jax.block_until_ready(out)
+
+    def _dispatch_step(self):
+        """The jitted step for THIS tick, advancing the host mirror of
+        the device step counter: on staged fast/kv paths the merge
+        cadence ((g+1) % STAGE_S == 0) is decided HERE so the merge
+        scatter runs in a cond-free jit whose donated cache aliases in
+        place (see __init__)."""
+        g = self._tick
+        self._tick += 1
+        if (self._step_merge is not None
+                and (g + 1) % incremental.STAGE_S == 0):
+            return self._step_merge
+        return self._step
 
     def step(self, chunks: Dict[int, np.ndarray]) -> Dict[int, Dict]:
         """chunks: {slot: (2, chunk_samples)} for streams with a fresh
@@ -290,9 +339,9 @@ class StreamArena:
         for slot, chunk in chunks.items():
             batch[slot] = chunk
             act[slot] = True
-        self.state, out = self._step(self.params, self.state,
-                                     jnp.asarray(batch),
-                                     jnp.asarray(act))
+        self.state, out = self._dispatch_step()(self.params, self.state,
+                                                jnp.asarray(batch),
+                                                jnp.asarray(act))
         return out
 
     def step_device_batch(self, frames: np.ndarray, slots: np.ndarray):
@@ -304,7 +353,7 @@ class StreamArena:
         no stream state reads them."""
         act = np.zeros((self.capacity,), bool)
         act[slots] = True
-        self.state, out = self._step(self.params, self.state,
-                                     jnp.asarray(frames),
-                                     jnp.asarray(act))
+        self.state, out = self._dispatch_step()(self.params, self.state,
+                                                jnp.asarray(frames),
+                                                jnp.asarray(act))
         return out

@@ -256,7 +256,8 @@ def init_kv_state(cfg: VapConfig, batch: int = 1,
 
 def kv_step(params: Params, state: KVState, chunk: jax.Array,
             cfg: VapConfig, active: jax.Array | None = None,
-            slots: str = "stream", attend_impl: str = "einsum"
+            slots: str = "stream", attend_impl: str = "einsum",
+            merge: str = "auto"
             ) -> Tuple[KVState, Dict[str, jax.Array]]:
     """One incremental frame: chunk (B, 2, frame_samples) -> probabilities.
 
@@ -287,12 +288,13 @@ def kv_step(params: Params, state: KVState, chunk: jax.Array,
     e = e.reshape(B, 2, D).astype(dtype)
     return _kv_core(params, state, e, h_new.reshape(B, 2, D),
                     c_new.reshape(B, 2, D), cfg, active, slots,
-                    attend_impl)
+                    attend_impl, merge)
 
 
 def _kv_core(params: Params, state: KVState, e: jax.Array,
              h_new: jax.Array, c_new: jax.Array, cfg: VapConfig,
-             active: jax.Array, slots: str, attend_impl: str = "einsum"
+             active: jax.Array, slots: str, attend_impl: str = "einsum",
+             merge: str = "auto"
              ) -> Tuple[KVState, Dict[str, jax.Array]]:
     """Post-encoder incremental step: e (B, 2, D) fresh embeddings ->
     single-query attentions over the fused cache + one slot write.
@@ -300,6 +302,15 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
     attend_impl: "einsum" (XLA) or "pallas" (ops/pallas/attend.py fused
     kernel — same math, ~3x faster on TPU at serving batch sizes because
     it avoids the 64-lane per-head relayouts; see PERF.md).
+
+    merge (staged slots only, STATIC): "auto" = in-graph
+    lax.cond((g+1) % STAGE_S == 0) — required under lax.scan;
+    "never" / "force" = the caller decides the merge cadence HOST-side
+    and jits two step variants.  A cond branch cannot write the carried
+    cache in place, so "auto" holds a cache-sized temporary (~5.5 GB at
+    B=14,336 int8 — the measured serving capacity binder); the
+    cond-free "force" step's merge scatter aliases the donated cache
+    (runtime/arena.py uses never/force on a host tick counter).
     """
     B = e.shape[0]
     D, T, H = cfg.dim, cfg.context_frames, cfg.num_heads
@@ -564,7 +575,7 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
             stage_scale2 = jax.lax.dynamic_update_slice(
                 state.stage_scale, scale_new[None], (si, 0, 0))
 
-        def merge(_):
+        def _merge(_):
             # one S-row per-stream scatter every S ticks: each staged
             # row goes to its stream's own ring position stamp % T
             # (bit-identical placement to the "stream" policy).  Flat-
@@ -591,8 +602,13 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
         def no_merge(_):
             return (state.cache, state.stamp, state.scale, stage_stamp2)
 
-        cache, stamp, cscale, stage_stamp2 = jax.lax.cond(
-            (g + 1) % STAGE_S == 0, merge, no_merge, None)
+        if merge == "force":
+            cache, stamp, cscale, stage_stamp2 = _merge(None)
+        elif merge == "never":
+            cache, stamp, cscale, stage_stamp2 = no_merge(None)
+        else:
+            cache, stamp, cscale, stage_stamp2 = jax.lax.cond(
+                (g + 1) % STAGE_S == 0, _merge, no_merge, None)
     elif slots == "stream":
         # per-stream ring position; frozen streams' indices are pushed
         # out of bounds and dropped, so a frozen tick touches NOTHING.
@@ -705,7 +721,8 @@ def init_fast_state(cfg: VapConfig, batch: int = 1,
 def fast_step(params: Params, state: FastState, new: jax.Array,
               cfg: VapConfig, active: jax.Array | None = None,
               slots: str = "global", attend_impl: str = "einsum",
-              conv_impl: str = "conv", conv_chunks: int = 1
+              conv_impl: str = "conv", conv_chunks: int = 1,
+              merge: str = "auto"
               ) -> Tuple[FastState, Dict[str, jax.Array]]:
     """One fast-path frame: new (B, 2, 16000//frame_hz) FRESH samples
     only (no 320-sample overlap) -> probabilities.
@@ -760,7 +777,7 @@ def fast_step(params: Params, state: FastState, new: jax.Array,
              for k, v in conv2.items()}
     kv2, outs = _kv_core(params, state.kv, e,
                          h_new.reshape(B, 2, D), c_new.reshape(B, 2, D),
-                         cfg, active, slots, attend_impl)
+                         cfg, active, slots, attend_impl, merge)
     return FastState(kv=kv2, conv=conv2), outs
 
 
