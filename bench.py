@@ -71,25 +71,58 @@ def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
         dtype = jax.tree_util.tree_leaves(state0)[0].dtype
     chunk = chunk.astype(dtype)
 
+    def consume(acc, out):
+        # consume EVERY output: with only p_now live, XLA DCEs the
+        # vad/bc/nod heads — all three modes then measure the identical
+        # graph and the step is flattered vs the real serving dispatch,
+        # which reads all fields (r5: this also explained r4's phantom
+        # 12% vap-vs-bc gap at 10 Hz — pure run variance between
+        # identical programs)
+        return acc + sum(jnp.sum(v).astype(jnp.float32)
+                         for v in out.values())
+
+    # hybrid paths: step_fn = (incr_fn, resync_fn) measures the
+    # RESYNC-ALIGNED blocked cadence (the arena's host-side dispatch
+    # semantics).  The per-step lax.cond form flip-flops the scan
+    # carry's cache layout between the resync branch's gather
+    # preference and the incremental path's — TWO full-cache copies
+    # (2.9 GB each, ~20 ms/step at B=4096) EVERY iteration (r5 trace);
+    # blocked, the relayout amortizes to 1-in-resync_every steps.
+    # F then counts resync BLOCKS of cfg.context_frames steps each.
+    hybrid_blocked = isinstance(step_fn, tuple)
+    steps_per_f = cfg.context_frames if hybrid_blocked else 1
+
     def make_runner(F):
         def run(params, state, chunk):
             # The accumulator keeps the heads alive (no DCE) and the
             # chunk evolves each step so the conv encoder cannot be
             # hoisted out of the loop as loop-invariant.
-            def body(carry, _):
-                st, ch, acc = carry
-                st, out = step_fn(params, st, ch, cfg)
-                # consume EVERY output: with only p_now live, XLA DCEs
-                # the vad/bc/nod heads — all three modes then measure
-                # the identical graph and the step is flattered vs the
-                # real serving dispatch, which reads all fields (r5:
-                # this also explained r4's phantom 12% vap-vs-bc gap
-                # at 10 Hz — pure run variance between identical
-                # programs)
-                acc = acc + sum(jnp.sum(v).astype(jnp.float32)
-                                for v in out.values())
-                ch = ch * 0.999 + 1e-4 * acc.astype(ch.dtype)
-                return (st, ch, acc), None
+            if hybrid_blocked:
+                incr_fn, resync_fn = step_fn
+
+                def body_i(carry, _):
+                    st, ch, acc = carry
+                    st, out = incr_fn(params, st, ch, cfg)
+                    acc = consume(acc, out)
+                    ch = ch * 0.999 + 1e-4 * acc.astype(ch.dtype)
+                    return (st, ch, acc), None
+
+                def body(carry, _):
+                    carry, _ = jax.lax.scan(
+                        body_i, carry, None,
+                        length=cfg.context_frames - 1)
+                    st, ch, acc = carry
+                    st, out = resync_fn(params, st, ch, cfg)
+                    acc = consume(acc, out)
+                    ch = ch * 0.999 + 1e-4 * acc.astype(ch.dtype)
+                    return (st, ch, acc), None
+            else:
+                def body(carry, _):
+                    st, ch, acc = carry
+                    st, out = step_fn(params, st, ch, cfg)
+                    acc = consume(acc, out)
+                    ch = ch * 0.999 + 1e-4 * acc.astype(ch.dtype)
+                    return (st, ch, acc), None
             (st, ch, acc), _ = jax.lax.scan(
                 body, (state, chunk, jnp.float32(0)), None, length=F)
             return acc
@@ -105,8 +138,12 @@ def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
             best = min(best, time.perf_counter() - t0)
         return best
 
+    if hybrid_blocked:
+        # block counts: 1 vs 3 blocks = cfg.context_frames vs 3x steps
+        f_short, f_long = 1, 3
     t_short, t_long = timed(f_short), timed(f_long)
-    return max((t_long - t_short) / (f_long - f_short), 1e-9)
+    return max((t_long - t_short) / ((f_long - f_short) * steps_per_f),
+               1e-9)
 
 
 def variant(name: str):
@@ -184,20 +221,38 @@ def variant(name: str):
         return step, functools.partial(init_fast_state, quant=quant), \
             "shift", dtype
     if path == "hybrid":
-        def step(p, s, c, cfg):
+        # (incr, resync) pair -> measure_path's resync-aligned blocked
+        # cadence (serving semantics; the per-step cond form pays two
+        # full-cache layout copies EVERY step — r5 trace, PERF.md)
+        def incr(p, s, c, cfg):
             return hybrid_step(p, s, c, cfg,
                                resync_every=cfg.context_frames,
-                               attend_impl=attend)
-        return step, functools.partial(init_hybrid_state, quant=quant), \
+                               attend_impl=attend, resync_mode="never")
+
+        def rsnc(p, s, c, cfg):
+            return hybrid_step(p, s, c, cfg,
+                               resync_every=cfg.context_frames,
+                               attend_impl=attend, resync_mode="force")
+        return (incr, rsnc), functools.partial(init_hybrid_state,
+                                               quant=quant), \
             "frame", dtype
     if path == "fasthybrid":
         # staged incr branch (the serving default; init staged=True)
-        def step(p, s, c, cfg):
+        def fincr(p, s, c, cfg):
             return fast_hybrid_step(p, s, c, cfg,
                                     resync_every=cfg.context_frames,
-                                    attend_impl=attend)
-        return step, functools.partial(init_fast_hybrid_state, staged=True,
-                                       quant=quant), "shift", dtype
+                                    attend_impl=attend,
+                                    resync_mode="never")
+
+        def frsnc(p, s, c, cfg):
+            return fast_hybrid_step(p, s, c, cfg,
+                                    resync_every=cfg.context_frames,
+                                    attend_impl=attend,
+                                    resync_mode="force")
+        return (fincr, frsnc), functools.partial(init_fast_hybrid_state,
+                                                 staged=True,
+                                                 quant=quant), \
+            "shift", dtype
     raise ValueError(name)
 
 

@@ -344,3 +344,37 @@ def test_arena_host_merge_matches_auto_cond():
                  jnp.asarray(frames), cfg, "staged")
     np.testing.assert_allclose(np.stack(got),
                                np.asarray(ref["p_now"]), atol=2e-5)
+
+
+def test_arena_host_resync_matches_auto_cond():
+    """The arena's host-side hybrid resync dispatch (cond-free resync
+    jit) must match the in-graph lax.cond scan.  resync_every=1 makes
+    every tick a resync, so the warmup phase offset cannot shift the
+    cadence and the comparison is exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from vap_realtime_tpu.runtime.incremental import (
+        init_fast_hybrid_state, run_frames_fast_hybrid,
+    )
+
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    params = synthetic_params(20)
+    B, F = 2, 6
+    rs = np.random.RandomState(5)
+    frames = rs.randn(F, B, 2, cfg.frame_shift).astype(np.float32) * 0.1
+
+    arena = StreamArena(cfg, params, capacity=B, path="fast_hybrid",
+                        slots="staged", resync_every=1)
+    assert arena._step_resync is not None
+    arena.warmup()
+    got = []
+    for f in range(F):
+        out = arena.step({b: frames[f, b] for b in range(B)})
+        got.append(np.stack([out[b]["p_now"] for b in range(B)]))
+
+    run = jax.jit(run_frames_fast_hybrid, static_argnums=(3, 4))
+    _, ref = run(params, init_fast_hybrid_state(cfg, B, staged=True),
+                 jnp.asarray(frames), cfg, 1)
+    np.testing.assert_allclose(np.stack(got),
+                               np.asarray(ref["p_now"]), atol=2e-5)

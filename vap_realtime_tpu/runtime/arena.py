@@ -151,7 +151,9 @@ class StreamArena:
         # (see incremental._kv_core `merge`)
         self._host_merge = staged and path in ("fast", "kv")
         self._tick = 0
+        self._resync_every = 0
         step_merge_fn = None
+        step_resync_fn = None
         if path == "fast":
             self.state = incremental.init_fast_state(cfg, capacity, dtype,
                                                      quant_cache, staged,
@@ -169,18 +171,34 @@ class StreamArena:
         elif path == "fast_hybrid":
             n = resync_every if resync_every is not None \
                 else cfg.context_frames
+            self._resync_every = n
             self.state = incremental.init_fast_hybrid_state(
                 cfg, capacity, dtype, quant_cache, staged)
-            step_fn = lambda p, st, ch, act: \
-                incremental.fast_hybrid_step(p, st, ch, cfg, act, n,
-                                             attend_impl)
+
+            def mk_fh(rm, mg):
+                return lambda p, st, ch, act: incremental.fast_hybrid_step(
+                    p, st, ch, cfg, act, n, attend_impl,
+                    resync_mode=rm, merge=mg)
+
+            step_fn = mk_fh("never", "never" if staged else "auto")
+            if staged:
+                step_merge_fn = mk_fh("never", "force")
+            step_resync_fn = mk_fh("force", "never")
         elif path == "hybrid":
             n = resync_every if resync_every is not None \
                 else cfg.context_frames
+            self._resync_every = n
             self.state = incremental.init_hybrid_state(cfg, capacity, dtype,
                                                        quant_cache, staged)
-            step_fn = lambda p, st, ch, act: incremental.hybrid_step(
-                p, st, ch, cfg, act, n)
+
+            def mk_h(rm, mg):
+                return lambda p, st, ch, act: incremental.hybrid_step(
+                    p, st, ch, cfg, act, n, resync_mode=rm, merge=mg)
+
+            step_fn = mk_h("never", "never" if staged else "auto")
+            if staged:
+                step_merge_fn = mk_h("never", "force")
+            step_resync_fn = mk_h("force", "never")
         elif path == "kv":
             self.state = incremental.init_kv_state(cfg, capacity, dtype,
                                                    quant_cache, staged)
@@ -221,6 +239,10 @@ class StreamArena:
                                        self.params, self.state, cs, ap,
                                        donate_argnums=(1,))
                             if step_merge_fn is not None else None)
+        self._step_resync = (jit_pinned(make_cast(step_resync_fn),
+                                        self.params, self.state, cs, ap,
+                                        donate_argnums=(1,))
+                             if step_resync_fn is not None else None)
         self._reset = jit_pinned(
             _reset_slot, self.state,
             jax.ShapeDtypeStruct((capacity,), jnp.bool_),
@@ -280,26 +302,33 @@ class StreamArena:
         # result, the input buffer is gone
         self.state = st
         jax.block_until_ready(out)
-        if self._step_merge is not None:
-            # compile + warm the merge-tick variant too (an empty-stage
-            # frozen merge drops every scatter row — state-neutral), so
-            # no compile stall lands mid-serving on the first real
-            # merge tick
-            st, out = self._step_merge(self.params, self.state,
-                                       jnp.asarray(self._zero),
-                                       jnp.zeros((self.capacity,), bool))
+        # compile + warm the merge-/resync-tick variants too (a frozen
+        # empty-stage merge drops every scatter row; a frozen resync
+        # rewrites only stamp-invalid rows — both state-neutral), so no
+        # compile stall lands mid-serving on the first cadence tick
+        for fn in (self._step_merge, self._step_resync):
+            if fn is None:
+                continue
+            st, out = fn(self.params, self.state,
+                         jnp.asarray(self._zero),
+                         jnp.zeros((self.capacity,), bool))
             self._tick += 1
             self.state = st
             jax.block_until_ready(out)
 
     def _dispatch_step(self):
         """The jitted step for THIS tick, advancing the host mirror of
-        the device step counter: on staged fast/kv paths the merge
-        cadence ((g+1) % STAGE_S == 0) is decided HERE so the merge
-        scatter runs in a cond-free jit whose donated cache aliases in
-        place (see __init__)."""
+        the device step counter: the staged-merge cadence
+        ((g+1) % STAGE_S == 0) and the hybrid resync cadence
+        ((g+1) % resync_every == 0) are decided HERE so the merge
+        scatter / resync rewrite run in cond-free jits whose donated
+        cache aliases in place (see __init__).  Resync supersedes merge
+        (the resync rewrite invalidates the stage)."""
         g = self._tick
         self._tick += 1
+        if (self._step_resync is not None
+                and (g + 1) % self._resync_every == 0):
+            return self._step_resync
         if (self._step_merge is not None
                 and (g + 1) % incremental.STAGE_S == 0):
             return self._step_merge

@@ -911,7 +911,8 @@ def _trunk_rows(params: Params, e_ctx: jax.Array, count: jax.Array,
 
 def hybrid_step(params: Params, state: HybridState, chunk: jax.Array,
                 cfg: VapConfig, active: jax.Array | None = None,
-                resync_every: int = 0, attend_impl: str = "einsum"
+                resync_every: int = 0, attend_impl: str = "einsum",
+                resync_mode: str = "auto", merge: str = "auto"
                 ) -> Tuple[HybridState, Dict[str, jax.Array]]:
     """Incremental KV step with periodic full-recompute resync.
 
@@ -936,20 +937,30 @@ def hybrid_step(params: Params, state: HybridState, chunk: jax.Array,
     e = e.reshape(B, 2, D).astype(dtype)
     kv2, e_ctx, outs = _hybrid_core(
         params, state.kv, state.e_ctx, e, h_new.reshape(B, 2, D),
-        c_new.reshape(B, 2, D), cfg, active, resync_every, attend_impl)
+        c_new.reshape(B, 2, D), cfg, active, resync_every, attend_impl,
+        resync_mode, merge)
     return HybridState(kv=kv2, e_ctx=e_ctx), outs
 
 
 def _hybrid_core(params: Params, kv: KVState, e_ctx_prev: jax.Array,
                  e: jax.Array, h_new: jax.Array, c_new: jax.Array,
                  cfg: VapConfig, active: jax.Array, resync_every: int,
-                 attend_impl: str = "einsum"):
+                 attend_impl: str = "einsum", resync_mode: str = "auto",
+                 merge: str = "auto"):
     """Post-encoder hybrid step: ring append + cond(resync, incremental).
 
     Shared by `hybrid_step` (chunked parity encoder) and
     `fast_hybrid_step` (seamless streaming encoder) — the resync trunk is
     encoder-agnostic because it recomputes from the raw embedding ring,
     whichever encoder produced it.  Returns (kv2, e_ctx, outs).
+
+    resync_mode (STATIC): "auto" = in-graph lax.cond on
+    (step+1) % resync_every (required under lax.scan); "never"/"force"
+    = the caller owns the cadence host-side (runtime/arena.py) or via a
+    resync-aligned blocked scan (run_frames_*_hybrid host_cadence) —
+    the cond-free forms avoid the branch's cache-sized temporaries and
+    any cost of the in-graph conditional.  merge: forwarded to the
+    incremental branch's staged-slot write (see _kv_core).
     """
     T = cfg.context_frames
     # LSTM/ring dtype, NOT kv.cache.dtype: with quant_cache the cache is
@@ -966,7 +977,7 @@ def _hybrid_core(params: Params, kv: KVState, e_ctx_prev: jax.Array,
     def incr(_):
         kv2, outs = _kv_core(params, kv, e, h_new, c_new, cfg, active,
                              "staged" if staged_kv else "stream",
-                             attend_impl)
+                             attend_impl, merge)
         return kv2, outs
 
     def resync(_):
@@ -1005,11 +1016,13 @@ def _hybrid_core(params: Params, kv: KVState, e_ctx_prev: jax.Array,
         )
         return kv2, probs
 
-    if resync_every > 0:
+    if resync_mode == "force":
+        kv2, outs = resync(None)
+    elif resync_mode == "never" or resync_every <= 0:
+        kv2, outs = incr(None)
+    else:
         is_resync = (kv.step + 1) % resync_every == 0
         kv2, outs = jax.lax.cond(is_resync, resync, incr, None)
-    else:
-        kv2, outs = incr(None)
     return kv2, e_ctx, outs
 
 
@@ -1050,7 +1063,8 @@ def init_fast_hybrid_state(cfg: VapConfig, batch: int = 1,
 
 def fast_hybrid_step(params: Params, state: FastHybridState, new: jax.Array,
                      cfg: VapConfig, active: jax.Array | None = None,
-                     resync_every: int = 0, attend_impl: str = "einsum"
+                     resync_every: int = 0, attend_impl: str = "einsum",
+                     resync_mode: str = "auto", merge: str = "auto"
                      ) -> Tuple[FastHybridState, Dict[str, jax.Array]]:
     """Fast path with periodic drift-flushing resync.
 
@@ -1082,20 +1096,58 @@ def fast_hybrid_step(params: Params, state: FastHybridState, new: jax.Array,
              for k, v in conv2.items()}
     kv2, e_ctx, outs = _hybrid_core(
         params, state.kv, state.e_ctx, e, h_new.reshape(B, 2, D),
-        c_new.reshape(B, 2, D), cfg, active, resync_every, attend_impl)
+        c_new.reshape(B, 2, D), cfg, active, resync_every, attend_impl,
+        resync_mode, merge)
     return FastHybridState(kv=kv2, conv=conv2, e_ctx=e_ctx), outs
 
 
 def run_frames_fast_hybrid(params: Params, state: FastHybridState,
                            frames: jax.Array, cfg: VapConfig,
-                           resync_every: int):
-    """`lax.scan` of fast_hybrid_step over (F, B, 2, frame_shift)."""
+                           resync_every: int, attend_impl: str = "einsum",
+                           host_cadence: bool = False):
+    """`lax.scan` of fast_hybrid_step over (F, B, 2, frame_shift).
+
+    host_cadence=True compiles the RESYNC-ALIGNED blocked form instead
+    of a per-step lax.cond: an outer scan over resync blocks, each =
+    (resync_every - 1) cond-free incremental steps + 1 cond-free resync
+    step.  Requires state.kv.step % resync_every == 0 (fresh states)
+    and F % resync_every == 0.  Same math, same cadence — this is the
+    scan-shaped twin of the arena's host-side dispatch.
+    """
 
     def body(st, chunk):
         return fast_hybrid_step(params, st, chunk, cfg,
-                                resync_every=resync_every)
+                                resync_every=resync_every,
+                                attend_impl=attend_impl)
 
-    return jax.lax.scan(body, state, frames)
+    if not host_cadence:
+        return jax.lax.scan(body, state, frames)
+
+    F = frames.shape[0]
+    R = resync_every
+    assert F % R == 0, (F, R)
+
+    def incr_body(st, chunk):
+        return fast_hybrid_step(params, st, chunk, cfg,
+                                resync_every=R,
+                                attend_impl=attend_impl,
+                                resync_mode="never")
+
+    def block(st, chunk_block):               # (R, B, 2, L)
+        st, outs1 = jax.lax.scan(incr_body, st, chunk_block[:R - 1])
+        st, out_r = fast_hybrid_step(params, st, chunk_block[R - 1], cfg,
+                                     resync_every=R,
+                                     attend_impl=attend_impl,
+                                     resync_mode="force")
+        outs = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b[None]], axis=0),
+            outs1, out_r)
+        return st, outs
+
+    blocks = frames.reshape((F // R, R) + frames.shape[1:])
+    st, outs = jax.lax.scan(block, state, blocks)
+    return st, jax.tree_util.tree_map(
+        lambda a: a.reshape((F,) + a.shape[2:]), outs)
 
 
 def run_frames_hybrid(params: Params, state: HybridState, frames: jax.Array,
