@@ -208,6 +208,14 @@ def main(argv=None):
           0 < r["latency_ms"]["p99"] < 2 * 1000.0 / args.hz]
     report["sustained_streams"] = max((r["streams"] for r in ok),
                                       default=0)
+    if not args.stub_device:
+        report["environment_note"] = (
+            "Measured through the axon dev relay (see "
+            "config.host_to_device_MBps and the fetch row): through the "
+            "tunnel every tick is transfer/RTT-bound, so no "
+            "realtime-sustained count exists here.  Use --stub_device "
+            "for the relay-free host-CPU leg and bench.py for the "
+            "device-resident step; the PCIe-host tick is their sum.")
     if args.stub_device:
         report["environment_note"] = (
             "HOST-ONLY measurement (--stub_device): the arena step is an "
