@@ -124,10 +124,13 @@ def _kernel_v3(P4_ref, c1_ref, c2_ref, c3_ref, c4_ref,
     def aux(i):
         return aux_v[i:i + 1][:, None, :]
 
-    # conv0 + norm0 + relu, phase-wise into the conv1 scratch
+    # conv0 + norm0 + relu, phase-wise into the conv1 scratch.
+    # P4 arrives 4-D (Bb, 4, T04, K0): the phase slice is a unit
+    # second-major index and the matmul reshape merges LEADING dims
+    # only — the lane-split reshapes Mosaic rejects never appear
     xm1[:, 0:1, :] = c1_ref[:]
     for p in range(4):
-        Pp = P4_ref[:, p, :].reshape(Bb * T04, K0)
+        Pp = P4_ref[:, p].reshape(Bb * T04, K0)
         a = jax.lax.dot_general(
             Pp, w0_v[:], (((1,), (0,)), ((), ())),
             preferred_element_type=f32).reshape(Bb, T04, C)
@@ -301,10 +304,10 @@ def conv_stack_fused_call(P: jax.Array, carries: Tuple[jax.Array, ...],
     "nonorm") — numerically wrong by design.
 
     Returns (z (B, T4, C), (new c1..c4))."""
-    if mode == "v3":        # P arrives phase-split (B, 4, (T0/4)*K0)
+    if mode == "v3":        # P arrives phase-split (B, 4, T0/4, K0)
         B = P.shape[0]
         K0 = CONV0_K
-        T0 = P.shape[2] // K0 * 4
+        T0 = P.shape[2] * 4
     else:
         B, T0, K0 = P.shape
     lens = tail_lens(T0)
@@ -326,8 +329,8 @@ def conv_stack_fused_call(P: jax.Array, carries: Tuple[jax.Array, ...],
         T04 = T0 // 4
         G1 = T04 + 1
         in_specs = [
-            pl.BlockSpec((Bb, 4, T04 * K0), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),        # P4 (2-D rows)
+            pl.BlockSpec((Bb, 4, T04, K0), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),        # P4 phase-split
             pl.BlockSpec((Bb, 1, 4 * C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),        # c1 merged
             bspec(2), bspec(2), bspec(2),
@@ -424,10 +427,7 @@ def cpc_conv_stack_streaming_fused(params: Params, new: jax.Array,
         # conv0 patches split into the 4 conv1 phases, flattened to
         # contiguous 2-D HBM rows; carry c1 lane-merged (both reshapes
         # are cheap XLA ops outside the kernel)
-        T0 = P.shape[1]
-        T04 = T0 // 4
-        P = jnp.stack([P[:, p::4] for p in range(4)],
-                      axis=1).reshape(B, 4, T04 * CONV0_K)
+        P = jnp.stack([P[:, p::4] for p in range(4)], axis=1)
         carries = (carries[0].reshape(B, 1, 4 * C),) + carries[1:]
     z, tails = conv_stack_fused_call(
         P, carries, w0.astype(dt), tuple(w.astype(dt) for w in wts),
