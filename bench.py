@@ -81,16 +81,22 @@ def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
         return acc + sum(jnp.sum(v).astype(jnp.float32)
                          for v in out.values())
 
-    # hybrid paths: step_fn = (incr_fn, resync_fn) measures the
-    # RESYNC-ALIGNED blocked cadence (the arena's host-side dispatch
-    # semantics).  The per-step lax.cond form flip-flops the scan
-    # carry's cache layout between the resync branch's gather
-    # preference and the incremental path's — TWO full-cache copies
-    # (2.9 GB each, ~20 ms/step at B=4096) EVERY iteration (r5 trace);
-    # blocked, the relayout amortizes to 1-in-resync_every steps.
-    # F then counts resync BLOCKS of cfg.context_frames steps each.
+    # blocked-cadence paths: step_fn = (incr_fn, boundary_fn, block_len)
+    # measures an ALIGNED blocked cadence (the arena's host-side
+    # dispatch semantics): block_len-1 cond-free steps + 1 cond-free
+    # boundary step (hybrid resync every context_frames, or the staged
+    # merge every STAGE_S).  The hybrid per-step lax.cond form
+    # flip-flops the scan carry's cache layout between the resync
+    # branch's gather preference and the incremental path's — TWO
+    # full-cache copies (2.9 GB each, ~20 ms/step at B=4096) EVERY
+    # iteration (r5 trace); blocked, the relayout amortizes to
+    # 1-in-block_len steps.  F then counts BLOCKS.
     hybrid_blocked = isinstance(step_fn, tuple)
-    steps_per_f = cfg.context_frames if hybrid_blocked else 1
+    blk_len = 1
+    if hybrid_blocked:
+        blk_len = step_fn[2] if step_fn[2] > 0 else cfg.context_frames
+        step_fn = (step_fn[0], step_fn[1], blk_len)
+    steps_per_f = blk_len
 
     def make_runner(F):
         def run(params, state, chunk):
@@ -98,7 +104,7 @@ def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
             # chunk evolves each step so the conv encoder cannot be
             # hoisted out of the loop as loop-invariant.
             if hybrid_blocked:
-                incr_fn, resync_fn = step_fn
+                incr_fn, boundary_fn, blk = step_fn
 
                 def body_i(carry, _):
                     st, ch, acc = carry
@@ -109,10 +115,9 @@ def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
 
                 def body(carry, _):
                     carry, _ = jax.lax.scan(
-                        body_i, carry, None,
-                        length=cfg.context_frames - 1)
+                        body_i, carry, None, length=blk - 1)
                     st, ch, acc = carry
-                    st, out = resync_fn(params, st, ch, cfg)
+                    st, out = boundary_fn(params, st, ch, cfg)
                     acc = consume(acc, out)
                     ch = ch * 0.999 + 1e-4 * acc.astype(ch.dtype)
                     return (st, ch, acc), None
@@ -139,8 +144,10 @@ def measure_path(step_fn, init_state_fn, params, cfg, batch: int,
         return best
 
     if hybrid_blocked:
-        # block counts: 1 vs 3 blocks = cfg.context_frames vs 3x steps
-        f_short, f_long = 1, 3
+        # block counts scaled so each sample covers >= the plain-path
+        # step counts (blk=8 staged merges vs blk=50 hybrid resyncs)
+        blk = step_fn[2]
+        f_short, f_long = max(8 // blk, 1), max(40 // blk, 3)
     t_short, t_long = timed(f_short), timed(f_long)
     return max((t_long - t_short) / ((f_long - f_short) * steps_per_f),
                1e-9)
@@ -202,6 +209,19 @@ def variant(name: str):
         return step, functools.partial(init_fast_state, quant=quant,
                                        staged=True, conv_impl=cimpl), \
             "shift", dtype
+    if path == "faststagedblk":
+        # staged with the HOST-cadence blocked merge (7 cond-free steps
+        # + 1 cond-free merge step — the arena's serving dispatch)
+        from vap_realtime_tpu.runtime.incremental import STAGE_S
+        incr = functools.partial(fast_step, slots="staged",
+                                 attend_impl=attend, conv_impl=cimpl,
+                                 conv_chunks=cchunks, merge="never")
+        mrg = functools.partial(fast_step, slots="staged",
+                                attend_impl=attend, conv_impl=cimpl,
+                                conv_chunks=cchunks, merge="force")
+        return (incr, mrg, STAGE_S), functools.partial(
+            init_fast_state, quant=quant, staged=True,
+            conv_impl=cimpl), "shift", dtype
     if path == "fast":
         step = functools.partial(fast_step, slots="global",
                                  attend_impl=attend, conv_impl=cimpl,
@@ -233,9 +253,9 @@ def variant(name: str):
             return hybrid_step(p, s, c, cfg,
                                resync_every=cfg.context_frames,
                                attend_impl=attend, resync_mode="force")
-        return (incr, rsnc), functools.partial(init_hybrid_state,
-                                               quant=quant), \
-            "frame", dtype
+        # block_len -1 = cfg.context_frames (resolved at measure time)
+        return (incr, rsnc, -1), functools.partial(
+            init_hybrid_state, quant=quant), "frame", dtype
     if path == "fasthybrid":
         # staged incr branch (the serving default; init staged=True)
         def fincr(p, s, c, cfg):
@@ -249,9 +269,8 @@ def variant(name: str):
                                     resync_every=cfg.context_frames,
                                     attend_impl=attend,
                                     resync_mode="force")
-        return (fincr, frsnc), functools.partial(init_fast_hybrid_state,
-                                                 staged=True,
-                                                 quant=quant), \
+        return (fincr, frsnc, -1), functools.partial(
+            init_fast_hybrid_state, staged=True, quant=quant), \
             "shift", dtype
     raise ValueError(name)
 
