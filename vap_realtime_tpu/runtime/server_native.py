@@ -166,6 +166,11 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--quant_cache", action="store_true",
                     help="int8 KV cache (half HBM traffic, 2x stream "
                          "capacity, ~2e-5 output deviation)")
+    ap.add_argument("--conv_chunks", type=int, default=1,
+                    help="sub-batch the fast-path encoder into k "
+                         "lax.map slices (conv transient HBM scales "
+                         "with capacity/k — the capacity lever for "
+                         ">12k-stream arenas; identical numerics)")
     ap.add_argument("--attend_impl",
                     choices=["einsum", "grouped", "pallas", "pallas3"],
                     default="einsum")
@@ -195,6 +200,7 @@ def main(argv: Optional[list] = None):
                         attend_impl=args.attend_impl,
                         slots=args.slots,
                         quant_cache=args.quant_cache,
+                        conv_chunks=args.conv_chunks,
                         wire_dtype=_np.int16 if args.wire_int16
                         else _np.float32)
     arena.warmup()
