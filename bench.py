@@ -157,8 +157,10 @@ def variant(name: str):
     """name -> (step_fn, init_fn, chunk_kind, dtype).
 
     Names: {full,kv,kvstream,kvstaged,fast,fastblk,faststream,
-    faststaged,hybrid,fasthybrid}[_pallas|_pallas3|_grouped][_q8]_
-    {f32,bf16}; "q8" = int8 KV cache with per-row dequant scales.
+    faststaged,hybrid,fasthybrid}[_pallas|_pallas3|_grouped][_q8|_q8g]_
+    {f32,bf16}; "q8" = int8 KV cache with per-row dequant scales,
+    "q8g" = int8 cache with frozen per-stream scales folded outside the
+    attend kernels (quant="global" — the fast int8 form, PERF.md r5).
     chunk_kind: "frame" (16000//hz + 320) or "shift" (16000//hz).
     """
     from vap_realtime_tpu.runtime.incremental import (
@@ -174,7 +176,8 @@ def variant(name: str):
     attend = ("pallas3" if "pallas3" in parts
               else "pallas" if "pallas" in parts
               else "grouped" if "grouped" in parts else "einsum")
-    quant = "q8" in parts                  # int8 KV cache + row scales
+    # int8 KV cache: "q8" = per-row scales, "q8g" = frozen global scales
+    quant = "global" if "q8g" in parts else ("q8" in parts)
     path = parts[0]
     if path == "full":
         return stream_step, init_stream_state, "frame", dtype
@@ -307,9 +310,12 @@ def main():
                os.environ.get("BENCH_BATCHES", "4096").split(",")]
     # default: only the winning path (remote compiles are slow; the full
     # matrix is one env var away: BENCH_VARIANTS=...)
-    keep = os.environ.get("BENCH_VARIANTS",
-                      "faststaged_pallas_bf16,fast_pallas_bf16"
-                      ).split(",")
+    keep = os.environ.get(
+        "BENCH_VARIANTS",
+        # serving default, its global-slot form, and the frozen-scale
+        # int8 cache (bf16-speed int8: 2x capacity at ~equal ms/step)
+        "faststaged_pallas_bf16,fast_pallas_bf16,faststaged_pallas_q8g_bf16"
+    ).split(",")
 
     best = 0.0
     best_desc = ""

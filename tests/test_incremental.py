@@ -349,6 +349,97 @@ def test_int8_kv_cache_tracks_bf16():
     assert d_impl < 1e-4, d_impl
 
 
+def test_int8_global_cache_tracks_bf16():
+    """quant="global" — int8 cache with per-stream FROZEN scales that
+    fold OUTSIDE the attend kernels (into q / k_cur / v_cur / the
+    output), so the kernels run the scale-free bf16 math on code values
+    (PERF.md r5).  Deviation vs the bf16 cache stays small on every
+    attend impl (coarser than per-row quant: one scale covers a whole
+    stream's rows), staged == stream, and the scales actually FREEZE
+    (set on the first frame, constant afterwards)."""
+    import functools
+
+    from vap_realtime_tpu.runtime.incremental import kv_step
+
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    params = synthetic_params(frame_hz=20)
+    audio = synthetic_audio(16000 * 2)
+    frames = frame_audio(audio, cfg)[:, None]
+    assert frames.shape[0] > cfg.context_frames  # slides
+
+    outs = {}
+    for quant, impl, slots in ((False, "einsum", "stream"),
+                               ("global", "einsum", "stream"),
+                               ("global", "pallas", "stream"),
+                               ("global", "grouped", "stream"),
+                               ("global", "pallas", "staged")):
+        step = jax.jit(functools.partial(kv_step, cfg=cfg, slots=slots,
+                                         attend_impl=impl))
+        st = init_kv_state(cfg, 1, quant=quant,
+                           staged=slots == "staged")
+        ps = []
+        scales = []
+        for f in range(frames.shape[0]):
+            st, out = step(params, st, jnp.asarray(frames[f]))
+            ps.append(np.asarray(out["p_now"]))
+            if quant == "global":
+                scales.append(np.asarray(st.scale))
+        outs[(quant, impl, slots)] = np.stack(ps)
+        if quant == "global":
+            assert (scales[0] > 0).all()          # set on first frame
+            np.testing.assert_array_equal(scales[0], scales[-1])  # frozen
+
+    ref = outs[(False, "einsum", "stream")]
+    d_quant = np.abs(outs[("global", "einsum", "stream")] - ref).max()
+    d_pl = np.abs(outs[("global", "pallas", "stream")]
+                  - outs[("global", "einsum", "stream")]).max()
+    d_gr = np.abs(outs[("global", "grouped", "stream")]
+                  - outs[("global", "einsum", "stream")]).max()
+    d_st = np.abs(outs[("global", "pallas", "staged")]
+                  - outs[("global", "pallas", "stream")]).max()
+    print(f"\n[int8-global] vs-bf16 max={d_quant:.2e} "
+          f"pallas-vs-einsum={d_pl:.2e} grouped-vs-einsum={d_gr:.2e} "
+          f"staged-vs-stream={d_st:.2e}")
+    assert d_quant < 2e-2, d_quant    # frozen scales: coarser than row
+    assert d_pl < 5e-4, d_pl
+    assert d_gr < 5e-4, d_gr
+    assert d_st < 5e-4, d_st
+
+
+def test_int8_global_scale_gating():
+    """Global-quant scales initialize ONLY on a stream's first ACTIVE
+    frame (a frozen slot must not calibrate from garbage rows), and a
+    slot reset re-zeros them so the next stream recalibrates."""
+    import functools
+
+    from vap_realtime_tpu.runtime import arena as arena_mod
+    from vap_realtime_tpu.runtime.incremental import kv_step
+
+    cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
+    params = synthetic_params(frame_hz=20)
+    step = jax.jit(functools.partial(kv_step, cfg=cfg, slots="stream"))
+    B = 2
+    st = init_kv_state(cfg, B, quant="global")
+    rs = np.random.RandomState(0)
+    chunk = jnp.asarray(rs.randn(B, 2, cfg.frame_samples)
+                        .astype(np.float32) * 0.1)
+    st, _ = step(params, st, chunk,
+                 active=jnp.asarray([True, False]))
+    sc = np.asarray(st.scale)
+    assert (sc[0] > 0).all() and (sc[1] == 0).all()
+    st, _ = step(params, st, chunk,
+                 active=jnp.asarray([True, True]))
+    sc2 = np.asarray(st.scale)
+    assert (sc2 > 0).all()
+    np.testing.assert_array_equal(sc2[0], sc[0])       # stream 0 frozen
+
+    # slot reset re-zeros ONLY the reset stream's scales
+    st3 = arena_mod._reset_slot(st, jnp.asarray([True, False]))
+    sc3 = np.asarray(st3.scale)
+    assert (sc3[0] == 0).all()
+    np.testing.assert_array_equal(sc3[1], sc2[1])
+
+
 @pytest.mark.parametrize("impl", ["einsum", "pallas"])
 def test_staged_slots_match_stream(impl):
     """slots='staged' == slots='stream' frame by frame: same outputs
@@ -453,12 +544,15 @@ def test_staged_hybrid_matches_unstaged(impl):
             assert (np.asarray(st_s.kv.stage_stamp) == -1).all()
 
 
-def test_int8_hybrid_cache_tracks_bf16():
+@pytest.mark.parametrize("quant", [True, "global"])
+def test_int8_hybrid_cache_tracks_bf16(quant):
     """Hybrid path + quantized cache: the resync branch must keep the
     LSTM/ring state in the compute dtype, NOT the int8 cache dtype
     (ADVICE r3 high: dtype=kv.cache.dtype truncated tanh-range h/c to 0
     on every resync frame).  Deviation vs the unquantized hybrid stays
-    small across several resyncs, and resync frames stay parity-close."""
+    small across several resyncs, and resync frames stay parity-close.
+    quant="global" also exercises the resync branch's whole-ring scale
+    calibration + frozen-scale requantization."""
     cfg = VapConfig(frame_hz=20, context_len_sec=1.0)
     params = synthetic_params(frame_hz=20)
     audio = synthetic_audio(16000 * 3)
@@ -473,7 +567,7 @@ def test_int8_hybrid_cache_tracks_bf16():
 
     step = jax.jit(functools.partial(hybrid_step, cfg=cfg, resync_every=N))
     st = init_hybrid_state(cfg, 1)
-    st_q = init_hybrid_state(cfg, 1, quant=True)
+    st_q = init_hybrid_state(cfg, 1, quant=quant)
     p, p_q = [], []
     for f in range(F):
         st, out = step(params, st, frames[f])
@@ -494,7 +588,8 @@ def test_int8_hybrid_cache_tracks_bf16():
     assert dev < 5e-3, dev
 
 
-def test_int8_fast_arena_interleave():
+@pytest.mark.parametrize("quant", [True, "global"])
+def test_int8_fast_arena_interleave(quant):
     """Quantized cache composes with the fast path + arena slot
     lifecycle: a jittery stream's outputs equal its solo run."""
     from vap_realtime_tpu.runtime.arena import StreamArena
@@ -507,7 +602,7 @@ def test_int8_fast_arena_interleave():
 
     def run(jitter):
         arena = StreamArena(cfg, params, capacity=3, path="fast",
-                            quant_cache=True)
+                            quant_cache=quant)
         slot = arena.add_stream()
         other = arena.add_stream()
         got = []

@@ -159,6 +159,106 @@ def _k_bcast_mode(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref,
             mode=mode)
 
 
+def _k_q8row(q_ref, kc_ref, vc_ref, age_ref, sc_ref, kv_ref, o_ref,
+             *, H, scale):
+    """Production-class int8 body: per-row dequant scales (explicit
+    s_cur form, two (Bb, T, D)-wide scale passes) — `_attend_math`
+    with row_scale, exactly what `_kernel_pair_q` ships."""
+    D = kv_ref.shape[-1] // 4
+    kv = kv_ref[:, 0]
+    rs = sc_ref[:]
+    for s in range(2):
+        o_ref[:, s * D:(s + 1) * D] = _attend_math(
+            q_ref[:, s * D:(s + 1) * D] * (scale * 1.4426950408889634),
+            kv[:, :, 2 * s * D:(2 * s + 1) * D],
+            kv[:, :, (2 * s + 1) * D:(2 * s + 2) * D],
+            kc_ref[:, s * D:(s + 1) * D], vc_ref[:, s * D:(s + 1) * D],
+            age_ref[:], H=H, out_dtype=o_ref.dtype, row_scale=rs)
+
+
+def _k_q8glb(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref, *, H, scale):
+    """Scale-FREE int8 body (r5 candidate): one GLOBAL per-phase scale
+    folds into q (scores) and a compile-time scalar on the value sum —
+    the kernel body is the bf16 v4 math plus two int8->bf16 casts and
+    one (Bb, D) post-reduce multiply.  q arrives pre-scaled by c_k
+    conceptually (here folded into the in-kernel prescale); kc arrives
+    pre-divided by c_k outside the kernel (not modeled — timing only,
+    the (B, 2D) outside ops are noise)."""
+    D = kv_ref.shape[-1] // 4
+    kv = kv_ref[:, 0]
+    C_V = 0.0123  # compile-time global v dequant scale
+    f32 = jnp.float32
+    for s in range(2):
+        q = q_ref[:, s * D:(s + 1) * D] * (scale * 1.4426950408889634)
+        k = kv[:, :, 2 * s * D:(2 * s + 1) * D].astype(q.dtype)
+        v = kv[:, :, (2 * s + 1) * D:(2 * s + 2) * D].astype(q.dtype)
+        kc = kc_ref[:, s * D:(s + 1) * D]
+        vc = vc_ref[:, s * D:(s + 1) * D]
+        Bb, T, _ = k.shape
+        di = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+        dj = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+        M = (di // (D // H) == dj // (D // H)).astype(k.dtype)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
+        m = jnp.exp2(-8.0 * ((lane // (D // H)).astype(f32) + 1.0) / H)
+        P = (k - kc[:, None, :]) * q[:, None, :]
+        s_shift = jax.lax.dot_general(
+            P.reshape(Bb * T, D), M,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32).reshape(Bb, T, D)
+        arg = s_shift - age_ref[:][:, :, None] * m
+        w = jnp.exp2(jnp.minimum(arg, 86.0))
+        denom = jnp.sum(w, axis=1) + 1.0
+        out = jnp.sum((w.astype(v.dtype) * v).astype(f32), axis=1)
+        out = out * C_V + vc.astype(f32)
+        o_ref[:, s * D:(s + 1) * D] = (out / denom).astype(o_ref.dtype)
+
+
+def _k_v5(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref, *, H, scale):
+    """r5 pass-squeeze candidate: (a) the AliBi age*m product is
+    computed ONCE and shared by both twin sets (v4 computes it per set);
+    (b) scores use P = k*q (one bf16 pass) with the s_cur shift folded
+    into the bias via one broadcast FMA, instead of v4's (k - kc)*q
+    two-pass form.  Mathematically identical softmax."""
+    D = kv_ref.shape[-1] // 4
+    kv = kv_ref[:, 0]
+    Bb, T, _ = kv.shape
+    f32 = jnp.float32
+    di = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+    dj = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
+    m = jnp.exp2(-8.0 * ((lane // (D // H)).astype(f32) + 1.0) / H)
+    agem = age_ref[:][:, :, None] * m                # ONCE, both sets
+    for s in range(2):
+        q = q_ref[:, s * D:(s + 1) * D] * (scale * 1.4426950408889634)
+        k = kv[:, :, 2 * s * D:(2 * s + 1) * D]
+        v = kv[:, :, (2 * s + 1) * D:(2 * s + 2) * D]
+        kc = kc_ref[:, s * D:(s + 1) * D]
+        vc = vc_ref[:, s * D:(s + 1) * D]
+        M = (di // (D // H) == dj // (D // H)).astype(k.dtype)
+        P = k * q[:, None, :]                        # 1 bf16 pass
+        sc_ = jax.lax.dot_general(
+            P.reshape(Bb * T, D), M,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32).reshape(Bb, T, D)
+        s_cur = jax.lax.dot_general(
+            kc * q, M, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)              # (Bb, D)
+        arg = sc_ - (agem + s_cur[:, None, :])       # broadcast FMA
+        w = jnp.exp2(jnp.minimum(arg, 86.0))
+        denom = jnp.sum(w, axis=1) + 1.0
+        out = jnp.sum((w.astype(v.dtype) * v).astype(f32), axis=1)
+        out = out + vc.astype(f32)
+        o_ref[:, s * D:(s + 1) * D] = (out / denom).astype(o_ref.dtype)
+
+
+def _k_q8dma(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref, *, H, scale):
+    """int8-cache DMA floor: half the bytes of the bf16 `dma` variant."""
+    kv = kv_ref[:, 0]
+    D2 = o_ref.shape[-1]
+    o_ref[:] = jnp.sum(kv.astype(jnp.float32), axis=1)[:, :D2].astype(
+        o_ref.dtype)
+
+
 def _k_prod(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref, *, H, scale,
             compact):
     D = kv_ref.shape[-1] // 4
@@ -179,28 +279,36 @@ def _k_prod(q_ref, kc_ref, vc_ref, age_ref, kv_ref, o_ref, *, H, scale,
                 age_ref[:], H=H, out_dtype=o_ref.dtype)
 
 
-def launch(kern, cache, q2, kc2, vc2, age, phase, Bb):
+def launch(kern, cache, q2, kc2, vc2, age, phase, Bb, rowscale=None):
     B, P, T, D4 = cache.shape
     D2 = D4 // 2
+    in_specs = [
+        pl.BlockSpec((Bb, D2), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bb, D2), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bb, D2), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bb, T), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q2, kc2, vc2, age]
+    if rowscale is not None:
+        in_specs.append(pl.BlockSpec((Bb, T), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(rowscale)
+    in_specs.append(
+        pl.BlockSpec((Bb, 1, T, D4), lambda i, p=phase: (i, p, 0, 0),
+                     memory_space=pltpu.VMEM))
+    args.append(cache)
     return pl.pallas_call(
         kern,
         grid=(B // Bb,),
-        in_specs=[
-            pl.BlockSpec((Bb, D2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb, D2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb, D2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb, T), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb, 1, T, D4), lambda i, p=phase: (i, p, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((Bb, D2), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, D2), q2.dtype),
-    )(q2, kc2, vc2, age, cache)
+    )(*args)
 
 
 def main():
@@ -253,21 +361,44 @@ def main():
                                         compact=False), 16),
         "bcast_b64": (functools.partial(_k_prod, H=H, scale=scale,
                                         compact=False), 64),
+        # int8-cache variants (r5): read the half-width cache_q8
+        "q8_dma": (functools.partial(_k_q8dma, H=H, scale=scale), 32),
+        "q8_row": (functools.partial(_k_q8row, H=H, scale=scale), 32),
+        "q8_glb": (functools.partial(_k_q8glb, H=H, scale=scale), 32),
+        "q8_glb_b8": (functools.partial(_k_q8glb, H=H, scale=scale), 8),
+        "q8_glb_b16": (functools.partial(_k_q8glb, H=H, scale=scale), 16),
+        "q8_row_b8": (functools.partial(_k_q8row, H=H, scale=scale), 8),
+        "q8_dma_b8": (functools.partial(_k_q8dma, H=H, scale=scale), 8),
+        "v5_b8": (functools.partial(_k_v5, H=H, scale=scale), 8),
+        "v5_b16": (functools.partial(_k_v5, H=H, scale=scale), 16),
+        "v5_b32": (functools.partial(_k_v5, H=H, scale=scale), 32),
+        "bcast_b8": (functools.partial(_k_prod, H=H, scale=scale,
+                                       compact=False), 8),
     }
 
     results = {}
     cache = jax.device_put(cache)
     q0 = jax.device_put(q0)
     age = jax.device_put(age)
+    # int8 lookalike cache + per-row dequant scales (values irrelevant —
+    # timing only; codes span the full int8 range for honest cast cost)
+    cache_q8 = jax.device_put(jnp.asarray(
+        rng.randint(-127, 128, size=cache.shape).astype(np.int8)))
+    rowscale = jax.device_put(jnp.asarray(
+        (rng.rand(B, T) * 0.02 + 0.01).astype(np.float32)))
 
     for name in args.variants.split(","):
         kern, Bb = KERNS[name]
+        is_q8 = name.startswith("q8_")
+        takes_rs = name.startswith("q8_row")
+        cch = cache_q8 if is_q8 else cache
 
-        def chain(q, cache, age, kern=kern, Bb=Bb):
+        def chain(q, cache, age, rs, kern=kern, Bb=Bb, takes_rs=takes_rs):
             # 7 sequential phase launches, q fed forward (the serving
             # step's dependency pattern — launches cannot overlap)
             for p in range(Pn):
-                o = launch(kern, cache, q, q, q, age, p, Bb)
+                o = launch(kern, cache, q, q, q, age, p, Bb,
+                           rowscale=rs if takes_rs else None)
                 q = (q * 0.999 + 0.001 * o).astype(q.dtype)
             return q
 
@@ -275,20 +406,20 @@ def main():
             # cache/age are ARGUMENTS (a closed-over cache becomes a
             # 2.9 GB captured constant re-uploaded per compile)
             @jax.jit
-            def run(q, cache, age):
+            def run(q, cache, age, rs):
                 def body(c, _):
-                    return chain(c, cache, age), None
+                    return chain(c, cache, age, rs), None
                 c, _ = jax.lax.scan(body, q, None, length=F)
                 return jnp.sum(c.astype(jnp.float32))
             return run
 
         def t(F, reps=2):
             run = runner(F)
-            _ = float(run(q0, cache, age))
+            _ = float(run(q0, cch, age, rowscale))
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                _ = float(run(q0, cache, age))
+                _ = float(run(q0, cch, age, rowscale))
                 best = min(best, time.perf_counter() - t0)
             return best
 

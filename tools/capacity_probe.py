@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--slots", default="staged")
     ap.add_argument("--attend_impl", default="pallas")
     ap.add_argument("--q8", action="store_true")
+    ap.add_argument("--q8g", action="store_true",
+                    help="int8 cache with frozen global scales "
+                         "(quant='global' — bf16-speed int8, PERF.md r5)")
     ap.add_argument("--conv_chunks", type=int, default=1)
     ap.add_argument("--hz", type=int, default=20)
     ap.add_argument("--ticks", type=int, default=40)
@@ -52,14 +55,16 @@ def main():
     cfg = VapConfig(frame_hz=args.hz, context_len_sec=2.5)
     params = synthetic_params(cfg.frame_hz)
     res = {"batch": args.batch, "path": args.path, "slots": args.slots,
-           "attend_impl": args.attend_impl, "quant_cache": args.q8,
+           "attend_impl": args.attend_impl,
+           "quant_cache": "global" if args.q8g else args.q8,
            "conv_chunks": args.conv_chunks, "hz": args.hz}
     t0 = time.time()
     try:
         arena = StreamArena(cfg, params, capacity=args.batch,
                             path=args.path, dtype=jnp.bfloat16,
                             attend_impl=args.attend_impl,
-                            slots=args.slots, quant_cache=args.q8,
+                            slots=args.slots,
+                            quant_cache="global" if args.q8g else args.q8,
                             wire_dtype=np.int16,
                             conv_chunks=args.conv_chunks)
         arena.warmup()

@@ -55,7 +55,8 @@ def main(argv=None):
     ap.add_argument("--int16", action="store_true", default=True,
                     help="int16 wire format (4x lower socket bandwidth)")
     ap.add_argument("--f64-wire", dest="int16", action="store_false")
-    ap.add_argument("--quant_cache", action="store_true")
+    ap.add_argument("--quant_cache", nargs="?", const=True,
+                    default=False, choices=[True, "row", "global"])
     ap.add_argument("--stub_device", action="store_true",
                     help="replace the arena with an instant host stub: "
                          "measures the HOST wire tick only (ingest + "

@@ -95,7 +95,12 @@ def _attend_math(q, k, v, kc, vc, age, *, H: int, out_dtype,
     Bb, T, D = k.shape
     Dh = D // H
     f32 = jnp.float32
-    if row_scale is not None:
+    if k.dtype != q.dtype:
+        # int8 codes ride up to the compute dtype.  With row_scale the
+        # scores/weights are rescaled per row below; WITHOUT row_scale
+        # the caller owns the dequant (quant="global": scales folded
+        # into q / k_cur / v_cur / the output — incremental.attend_pair)
+        # and this body is exactly the bf16 math on code values.
         k = k.astype(q.dtype)
         v = v.astype(q.dtype)
 
@@ -165,7 +170,7 @@ def _attend_math(q, k, v, kc, vc, age, *, H: int, out_dtype,
         # array-equal, which an (S, Bb) block is not — the caller pads
         # them to full lane width instead (cheap: S*B*D bf16/f32)
         k_st, v_st, age_st, st_scale = staged
-        if st_scale is not None:
+        if k_st.dtype != q.dtype:       # int8 stage (see cast note above)
             k_st = k_st.astype(q.dtype)
             v_st = v_st.astype(q.dtype)
         S = k_st.shape[0]
@@ -218,7 +223,7 @@ def _attend_math_compact(q, k, v, kc, vc, age, *, H: int,
     Bb, T, D = k.shape
     Dh = D // H
     f32 = jnp.float32
-    if row_scale is not None:
+    if k.dtype != q.dtype:              # int8 codes (see _attend_math)
         k = k.astype(q.dtype)
         v = v.astype(q.dtype)
 

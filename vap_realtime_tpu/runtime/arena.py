@@ -95,7 +95,11 @@ def _reset_slot(state, mask: jax.Array):
     if isinstance(state, incremental.KVState):
         return incremental.KVState(
             cache=state.cache,  # stale rows masked by stamp
-            scale=state.scale,  # ditto (scales only read for live rows)
+            # per-row scales (ndim 3) are only read for live rows and
+            # may stay; the FROZEN per-stream scales of quant="global"
+            # (ndim 4) must re-calibrate on the new stream's first frame
+            scale=(jnp.where(mask[:, None, None, None], 0.0, state.scale)
+                   if state.scale.ndim == 4 else state.scale),
             lstm_h=jnp.where(mask[:, None, None], 0.0, state.lstm_h),
             lstm_c=jnp.where(mask[:, None, None], 0.0, state.lstm_c),
             count=jnp.where(mask, 0, state.count),
@@ -121,7 +125,8 @@ class StreamArena:
     def __init__(self, cfg: VapConfig, params, capacity: int = 64,
                  path: str = "kv", dtype=jnp.float32, slots: str = "staged",
                  resync_every: Optional[int] = None,
-                 attend_impl: str = "einsum", quant_cache: bool = False,
+                 attend_impl: str = "einsum",
+                 quant_cache: bool | str = False,
                  wire_dtype=np.float32, conv_impl: str = "conv",
                  conv_chunks: int = 1):
         """wire_dtype: dtype of the chunks fed to step() — np.float32

@@ -49,16 +49,20 @@ class VapEngine:
                  checkpoint_npz: Optional[str] = None,
                  path: str = "kv", batch: int = 1,
                  dtype=jnp.float32, resync_every: Optional[int] = None,
-                 attend_impl: str = "einsum", quant_cache: bool = False,
+                 attend_impl: str = "einsum",
+                 quant_cache: bool | str = False,
                  slots: Optional[str] = None, conv_impl: str = "conv",
                  conv_chunks: int = 1):
         self.cfg = cfg or VapConfig()
         self.batch = batch
         self.path = path
         self.attend_impl = attend_impl
-        # quant_cache: int8 KV cache with per-row scales — half the HBM
-        # traffic / double the capacity of bf16, ~2e-5 output deviation
-        # (tests/test_incremental.py); applies to kv/fast/hybrid paths
+        # quant_cache: int8 KV cache — half the HBM traffic / double the
+        # capacity of bf16; applies to kv/fast/hybrid paths.
+        #   True / "row": per-row dequant scales, ~2e-5 output deviation
+        #   (tests/test_incremental.py) but two in-kernel dequant passes;
+        #   "global": per-stream frozen scales folded OUTSIDE the attend
+        #   kernels — the faster serving form (PERF.md r5)
         self.quant_cache = quant_cache
         self.resync_every = (resync_every if resync_every is not None
                              else self.cfg.context_frames)

@@ -140,6 +140,40 @@ def quantize_rows(rows: jax.Array):
     return q, sc
 
 
+# quant="global" headroom: the per-stream scale freezes at MARGIN x the
+# first active frame's max-abs (per phase x k/v column group); later
+# rows that exceed it SATURATE at +-127 instead of rescaling history.
+# K/V are projections of LayerNorm'd activations, so ranges are stable
+# across time — measured e2e deviation is pinned in
+# tests/test_incremental.py::test_int8_global_cache_tracks_bf16.
+QG_MARGIN = 1.5
+
+
+def quantize_rows_global(rows: jax.Array, gscale: jax.Array,
+                         active: jax.Array):
+    """int8 quantization with per-(stream, phase, k/v-group) FROZEN
+    scales (``quant="global"``): scores/value dequant folds OUTSIDE the
+    attend kernels (into q / k_cur / v_cur / the output), so the kernel
+    body is the bf16 one plus two int8->bf16 casts — no per-row scale
+    passes and half the cache DMA (PERF.md r5).
+
+    rows: (B, P, 4D) fresh K/V rows; gscale: (B, P, 1, 4) current
+    scales (0 = not yet set); active: (B,) bool.  Scales SET ONCE per
+    stream — on its first active frame (slot resets zero them) — at
+    QG_MARGIN x that frame's per-group max-abs / 127; all writes clamp.
+    Returns (int8 rows (B, P, 4D), updated gscale)."""
+    B, P, D4 = rows.shape
+    f = rows.astype(jnp.float32).reshape(B, P, 4, D4 // 4)
+    amax = jnp.max(jnp.abs(f), axis=-1)[:, :, None, :]      # (B, P, 1, 4)
+    fresh = jnp.maximum(amax * (QG_MARGIN / 127.0), 1e-8)
+    gs = jnp.where((gscale == 0) & active[:, None, None, None],
+                   fresh, gscale)
+    sc = jnp.where(gs == 0, 1.0, gs)                        # safe divide
+    q = jnp.clip(jnp.round(f / jnp.swapaxes(sc, 2, 3)),     # (B, P, 4, 1)
+                 -127, 127).astype(jnp.int8)
+    return q.reshape(B, P, D4), gs
+
+
 STAGE_S = 8  # staged-slot policy: frames buffered between ring merges
 
 
@@ -162,13 +196,19 @@ class KVState:
             ages are `count - stamp`: exact in each stream's own frame
             timeline even when streams tick at different rates in a
             shared arena (a frozen stream's rows do not age).
-    scale:  int8-quantized cache only ((B, P, T) float32 per-phase-row
-            dequant scales; a () placeholder otherwise).  ``quant=True``
-            stores the cache as int8 with per-(stream, phase, row)
-            max-abs/127 scales: HALF the HBM read traffic of bf16 on a
-            bandwidth-bound trunk and 2x the stream capacity, for a
-            ~0.4% relative K/V representation error (deviation pinned
-            in tests/test_incremental.py).
+    scale:  int8-quantized cache only; a () placeholder otherwise.
+            ``quant=True``/"row": (B, P, T) float32 per-(stream, phase,
+            row) max-abs/127 scales — HALF the HBM read traffic of bf16
+            on a bandwidth-bound trunk and 2x the stream capacity, for
+            a ~0.4% relative K/V representation error (deviation pinned
+            in tests/test_incremental.py), at the cost of two per-row
+            dequant passes inside the attend kernels.
+            ``quant="global"``: (B, P, 1, 4) float32 per-(stream,
+            phase, k/v column group) scales FROZEN at the stream's
+            first active frame (quantize_rows_global) — dequant folds
+            entirely OUTSIDE the attend kernels (into q, k_cur, v_cur
+            and the output), so the int8 cache's half-DMA shows up as
+            step speedup, not just capacity (PERF.md r5).
     step:   () GLOBAL frame counter (used only by ``slots="global"``).
             A stream (re)joining a slot resets its `count` and its
             `stamp` row; stale cache rows are masked by the stamp test.
@@ -218,14 +258,20 @@ class KVState:
 
 
 def init_kv_state(cfg: VapConfig, batch: int = 1,
-                  dtype=jnp.float32, quant: bool = False,
+                  dtype=jnp.float32, quant: bool | str = False,
                   staged: bool = False) -> KVState:
     """staged=True builds the stage buffers the ``slots="staged"``
-    policy needs (a (S, B, P*4D) frame-major row stage; see KVState)."""
+    policy needs (a (S, B, P*4D) frame-major row stage; see KVState).
+
+    quant: False (dtype cache) | True / "row" (int8 cache, per-row
+    dequant scales) | "global" (int8 cache, per-stream FROZEN scales
+    that fold outside the attend kernels — see quantize_rows_global)."""
     D, T = cfg.dim, cfg.context_frames
     n = len(cache_layout(cfg))
     P = n // 4
     S = STAGE_S
+    assert quant in (False, True, "row", "global"), quant
+    quant_g = quant == "global"
     if staged and S > T:
         # the merge scatter targets stamp % T and relies on the S staged
         # stamps being distinct mod T; S > T (context_len_sec*frame_hz
@@ -233,11 +279,16 @@ def init_kv_state(cfg: VapConfig, batch: int = 1,
         raise ValueError(
             f"staged slots need context_frames >= {S} (got {T}); use "
             f"slots='stream' for tiny-context configs")
+    if quant_g:
+        scale = jnp.zeros((batch, P, 1, 4), jnp.float32)
+    elif quant:
+        scale = jnp.zeros((batch, P, T), jnp.float32)
+    else:
+        scale = jnp.zeros((), jnp.float32)
     return KVState(
         cache=jnp.zeros((batch, P, T, 4 * D),
                         jnp.int8 if quant else dtype),
-        scale=(jnp.zeros((batch, P, T), jnp.float32) if quant
-               else jnp.zeros((), jnp.float32)),
+        scale=scale,
         lstm_h=jnp.zeros((batch, 2, D), dtype),
         lstm_c=jnp.zeros((batch, 2, D), dtype),
         count=jnp.zeros((batch,), jnp.int32),
@@ -249,7 +300,7 @@ def init_kv_state(cfg: VapConfig, batch: int = 1,
         stage_stamp=(jnp.full((S, batch), -1, jnp.int32) if staged
                      else jnp.zeros((), jnp.int32)),
         stage_scale=(jnp.zeros((S, batch, P), jnp.float32)
-                     if staged and quant
+                     if staged and quant and not quant_g
                      else jnp.zeros((), jnp.float32)),
     )
 
@@ -318,6 +369,7 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
     layout = cache_layout(cfg)
     dtype = state.lstm_h.dtype
     quant = state.scale.ndim == 3          # int8 cache + per-row scales
+    quant_g = state.scale.ndim == 4        # int8 cache + frozen scales
 
     # ages of cached rows relative to the current frame (age 0 = current,
     # written at the END of this step), measured in each stream's OWN
@@ -394,6 +446,30 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
                     stage=state.stage, stage_age=age_st_f,
                     stage_scale=(state.stage_scale[:, :, pair_base // 2]
                                  if quant else None))
+            if quant_g:
+                # frozen-scale fold (quant="global"): the kernels see a
+                # scale-FREE int8 problem — q rides c_k (scores of
+                # dequantized K == scores of codes against q*c_k),
+                # k_cur/v_cur ride 1/c so the current position lands in
+                # CODE units, and the output scales back by c_v.  All
+                # four are (B, 2, D)-level elementwise ops XLA fuses
+                # into the surrounding projections; in-kernel cost is
+                # two int8->bf16 casts (see ops/pallas/attend.py).
+                gs = state.scale[:, pair_base // 2, 0]       # (B, 4)
+                ck = jnp.where(gs[:, 0::2] == 0, 1.0,
+                               gs[:, 0::2])[..., None]       # (B, 2, 1)
+                cv = jnp.where(gs[:, 1::2] == 0, 1.0,
+                               gs[:, 1::2])[..., None]
+                out = fused_attend_pair(
+                    state.cache,
+                    (q2.astype(jnp.float32) * ck).astype(dtype),
+                    (k2.astype(jnp.float32) / ck).astype(dtype),
+                    (v2.astype(jnp.float32) / cv).astype(dtype),
+                    age_f, scale=None, pair_base=pair_base,
+                    num_heads=H,
+                    impl=("compact" if attend_impl == "pallas3"
+                          else "bcast"), **stage_kw)
+                return (out.astype(jnp.float32) * cv).astype(dtype)
             return fused_attend_pair(state.cache, q2.astype(dtype),
                                      k2.astype(dtype), v2.astype(dtype),
                                      age_f, scale=scale_p,
@@ -422,6 +498,10 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
             if quant:
                 x = (x.astype(jnp.float32)
                      * state.scale[:, ph, :, None]).astype(dtype)
+            elif quant_g:
+                x = (x.astype(jnp.float32)
+                     * state.scale[:, ph, 0, off // D, None, None]
+                     ).astype(dtype)
             if staged:
                 # staged rows attend alongside the ring rows (their
                 # placement order is irrelevant: ages come from stamps)
@@ -430,6 +510,10 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
                 if quant:
                     y = (y.astype(jnp.float32)
                          * state.stage_scale[:, :, ph, None]
+                         ).astype(dtype)
+                elif quant_g:
+                    y = (y.astype(jnp.float32)
+                         * state.scale[None, :, ph, 0, off // D, None]
                          ).astype(dtype)
                 x = jnp.concatenate([x, jnp.swapaxes(y, 0, 1)], axis=1)
             return x
@@ -553,8 +637,15 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
     rows = jnp.stack(
         [jnp.concatenate([new_vecs[n] for n in layout[4 * ph:4 * ph + 4]],
                          axis=-1) for ph in range(P)], axis=1)
+    gscale_new = None
     if quant:
         rows, scale_new = quantize_rows(rows)
+    elif quant_g:
+        # frozen per-stream scales: set once (first active frame), then
+        # every write clamps into the same code space — no per-row
+        # scale state, no scale scatter in any slot policy
+        rows, gscale_new = quantize_rows_global(rows, state.scale, active)
+        scale_new = None
     else:
         rows = rows.astype(dtype)
         scale_new = None
@@ -659,6 +750,10 @@ def _kv_core(params: Params, state: KVState, e: jax.Array,
                                              (0, g % T))
     else:
         raise ValueError(f"unknown slots policy {slots!r}")
+    if quant_g:
+        # frozen scales bypass the per-row scale plumbing of every slot
+        # policy above (their `cscale` is just state.scale)
+        cscale = gscale_new
 
     trunk = {"x": xc[:, None], "o1": o1[:, None], "o2": o2[:, None],
              "x1": x1[:, None], "x2": x2[:, None]}
@@ -699,7 +794,7 @@ class FastState:
 
 
 def init_fast_state(cfg: VapConfig, batch: int = 1,
-                    dtype=jnp.float32, quant: bool = False,
+                    dtype=jnp.float32, quant: bool | str = False,
                     staged: bool = False,
                     conv_impl: str = "conv") -> FastState:
     from vap_realtime_tpu.models.encoder import init_conv_stream_state
@@ -813,7 +908,7 @@ class HybridState:
 
 
 def init_hybrid_state(cfg: VapConfig, batch: int = 1,
-                      dtype=jnp.float32, quant: bool = False,
+                      dtype=jnp.float32, quant: bool | str = False,
                       staged: bool = False) -> HybridState:
     """staged=True: the incremental branch uses the staged slot policy
     (exact "stream" semantics at global-slot cost; PERF.md r4)."""
@@ -994,6 +1089,21 @@ def _hybrid_core(params: Params, kv: KVState, e_ctx_prev: jax.Array,
         a = active[:, None, None]
         if kv.scale.ndim == 3:                 # int8 cache: requantize
             cache2, scale2 = quantize_rows(cache2)
+        elif kv.scale.ndim == 4:               # frozen scales ("global")
+            # unset streams calibrate from the WHOLE rebuilt ring (a
+            # better estimate than the single-frame init); set streams
+            # keep their frozen scale and clamp, as everywhere else
+            B2, P2, T2, D42 = cache2.shape
+            f = cache2.astype(jnp.float32).reshape(B2, P2, T2, 4,
+                                                   D42 // 4)
+            amax = jnp.max(jnp.abs(f), axis=(2, 4))[:, :, None, :]
+            fresh = jnp.maximum(amax * (QG_MARGIN / 127.0), 1e-8)
+            scale2 = jnp.where((kv.scale == 0)
+                               & active[:, None, None, None],
+                               fresh, kv.scale)
+            sc = jnp.where(scale2 == 0, 1.0, scale2)     # (B, P, 1, 4)
+            cache2 = jnp.clip(jnp.round(f / sc[..., None]), -127, 127
+                              ).astype(jnp.int8).reshape(B2, P2, T2, D42)
         else:
             cache2 = cache2.astype(dtype)
             scale2 = kv.scale
@@ -1049,7 +1159,7 @@ class FastHybridState:
 
 
 def init_fast_hybrid_state(cfg: VapConfig, batch: int = 1,
-                           dtype=jnp.float32, quant: bool = False,
+                           dtype=jnp.float32, quant: bool | str = False,
                            staged: bool = False) -> FastHybridState:
     from vap_realtime_tpu.models.encoder import init_conv_stream_state
 

@@ -107,9 +107,13 @@ def main(argv: Optional[list] = None) -> None:
                     help="'full' = parity-exact recompute, 'kv' = "
                          "incremental KV cache, 'fast' = streaming conv "
                          "+ KV (throughput path)")
-    ap.add_argument("--quant_cache", action="store_true",
+    ap.add_argument("--quant_cache", nargs="?", const=True,
+                    default=False, choices=[True, "row", "global"],
                     help="int8 KV cache (half HBM traffic, 2x stream "
-                         "capacity, ~2e-5 output deviation)")
+                         "capacity): bare/'row' = per-row dequant "
+                         "scales (~2e-5 deviation); 'global' = frozen "
+                         "per-stream scales folded outside the attend "
+                         "kernels (the fast int8 form, PERF.md r5)")
     ap.add_argument("--attend_impl",
                     choices=["einsum", "grouped", "pallas", "pallas3"],
                     default="einsum")

@@ -163,9 +163,13 @@ def main(argv: Optional[list] = None):
                          "contract, slower); 'global' = scalar-slot "
                          "write for cohorts that tick together "
                          "(PERF.md r4)")
-    ap.add_argument("--quant_cache", action="store_true",
+    ap.add_argument("--quant_cache", nargs="?", const=True,
+                    default=False, choices=[True, "row", "global"],
                     help="int8 KV cache (half HBM traffic, 2x stream "
-                         "capacity, ~2e-5 output deviation)")
+                         "capacity): bare/'row' = per-row dequant "
+                         "scales (~2e-5 deviation); 'global' = frozen "
+                         "per-stream scales folded outside the attend "
+                         "kernels (the fast int8 form, PERF.md r5)")
     ap.add_argument("--conv_chunks", type=int, default=1,
                     help="sub-batch the fast-path encoder into k "
                          "lax.map slices (conv transient HBM scales "
