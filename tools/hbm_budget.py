@@ -77,6 +77,16 @@ def main(argv=None):
                 usable = HBM_BYTES * (1 - WORKSPACE_FRACTION) - params_bytes
                 cap = int(usable // per)
                 rows.append((path, label, per, cap))
+            if path == "full":
+                continue
+            # int8 KV cache variants (bf16 compute state)
+            for quant, label in [(True, "int8 row-scales (q8)"),
+                                 ("global", "int8 frozen scales (q8g)")]:
+                st = jax.eval_shape(
+                    lambda i=init, q=quant: i(cfg, B, jnp.bfloat16, q))
+                per = state_bytes(st, B)
+                usable = HBM_BYTES * (1 - WORKSPACE_FRACTION) - params_bytes
+                rows.append((path, label, per, int(usable // per)))
 
     hdr = ("path", "state dtype", "bytes/stream", "capacity cap @16GB v5e")
     if args.markdown:
